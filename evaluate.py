@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Evaluation CLI — flag parity with reference src/evaluate.py:17-294.
+
+Runs the batched on-device evaluator (forward + decode + NMS + greedy matching
+jitted per batch) and prints overall, size-based and per-class tables, then
+writes ``evaluation_results.txt`` beside the checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Evaluate YOLOv1 (TPU-native)")
+    p.add_argument("--checkpoint", required=True, help=".ckpt or reference .pth")
+    p.add_argument("--num-classes", type=int, default=20)
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="accepted for parity; unused at eval time")
+    p.add_argument("--year", default="2007")
+    p.add_argument("--image-set", default="test")
+    p.add_argument("--datasets", default=None,
+                   help="combined spec, e.g. '2007:trainval,2012:train'")
+    p.add_argument("--data-root", default="./data")
+    p.add_argument("--download-data", action="store_true")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-workers", type=int, default=4)
+    p.add_argument("--conf-threshold", type=float, default=0.01)
+    p.add_argument("--nms-threshold", type=float, default=0.4)
+    p.add_argument("--device", default=None, help="accepted for parity; unused")
+    p.add_argument("--backbone", default="resnet", choices=["resnet", "yolov1"])
+    p.add_argument("--use-bf16", action="store_true")
+    return p.parse_args(argv)
+
+
+def format_results(results: dict, num_classes: int, class_names) -> str:
+    lines = []
+    lines.append("=" * 60)
+    lines.append("Overall metrics")
+    lines.append("=" * 60)
+    for key in ("mAP50:95", "mAP50", "mAP75", "precision", "recall"):
+        lines.append(f"  {key:12s}: {results[key] * 100:.2f}%")
+    lines.append("")
+    lines.append("Size-based metrics")
+    lines.append("-" * 60)
+    for size in ("large", "medium", "small"):
+        lines.append(
+            f"  {size:7s}: mAP50:95 {results[f'mAP50:95_{size}'] * 100:6.2f}% | "
+            f"mAP50 {results[f'mAP50_{size}'] * 100:6.2f}% | "
+            f"objects {results[f'num_{size}_objects']}"
+        )
+    lines.append("")
+    lines.append("Per-class AP (sorted by AP50:95)")
+    lines.append("-" * 60)
+    per_class = sorted(
+        range(num_classes),
+        key=lambda c: -results.get(f"AP50:95_class_{c}", 0.0),
+    )
+    lines.append(f"  {'class':14s} {'AP50':>8s} {'AP75':>8s} {'AP50:95':>8s}")
+    for c in per_class:
+        name = class_names[c] if c < len(class_names) else f"class_{c}"
+        lines.append(
+            f"  {name:14s} "
+            f"{results.get(f'AP50_class_{c}', 0.0) * 100:7.2f}% "
+            f"{results.get(f'AP75_class_{c}', 0.0) * 100:7.2f}% "
+            f"{results.get(f'AP50:95_class_{c}', 0.0) * 100:7.2f}%"
+        )
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from yolo_tpu.data import VOC_CLASSES, DataLoader, create_voc_datasets
+    from yolo_tpu.metrics import evaluate_model
+    from yolo_tpu.models import create_model
+    from yolo_tpu.training.checkpoints import load_checkpoint, load_variables
+
+    # Dataset (single split or combined spec; evaluate.py:102-132).
+    if args.datasets:
+        pairs = [tuple(item.split(":")) for item in args.datasets.split(",")]
+    else:
+        pairs = [(args.year, args.image_set)]
+    dataset = create_voc_datasets(
+        pairs,
+        download=args.download_data,
+        root=args.data_root,
+        augment=False,
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=args.batch_size,
+        shuffle=False,
+        num_workers=args.num_workers,
+        drop_last=False,
+    )
+    print(f"Evaluation dataset: {len(dataset)} images")
+
+    dtype = jnp.bfloat16 if args.use_bf16 else jnp.float32
+    model = create_model(args.backbone, num_classes=args.num_classes, dtype=dtype)
+
+    ckpt_path = Path(args.checkpoint)
+    payload = load_checkpoint(ckpt_path)
+    variables = {
+        "params": payload["model_state_dict"]["params"],
+        "batch_stats": payload["model_state_dict"].get("batch_stats", {}),
+    }
+    print(f"Loaded checkpoint {ckpt_path}")
+    for key in ("epoch", "val_loss", "mAP50:95"):
+        if key in payload:
+            print(f"  {key}: {payload[key]}")
+
+    results = evaluate_model(
+        model,
+        variables,
+        loader,
+        num_classes=args.num_classes,
+        conf_threshold=args.conf_threshold,
+        nms_threshold=args.nms_threshold,
+    )
+
+    report = format_results(results, args.num_classes, VOC_CLASSES)
+    print("\n" + report)
+
+    out_path = ckpt_path.parent / "evaluation_results.txt"
+    out_path.write_text(report + "\n")
+    print(f"\nResults written to {out_path}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

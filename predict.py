@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Prediction CLI — flag parity with reference src/predict.py:188-293.
+
+Single-image or directory batch prediction with annotated outputs
+(``{stem}_pred{suffix}``) and a console summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Predict with YOLOv1 (TPU-native)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--num-classes", type=int, default=20)
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="accepted for parity; unused at inference")
+    p.add_argument("--image", default=None)
+    p.add_argument("--image-dir", default=None)
+    p.add_argument("--output", default="predictions")
+    p.add_argument("--conf-threshold", type=float, default=0.5)
+    p.add_argument("--nms-threshold", type=float, default=0.4)
+    p.add_argument("--device", default=None, help="accepted for parity; unused")
+    p.add_argument("--backbone", default="resnet", choices=["resnet", "yolov1"])
+    args = p.parse_args(argv)
+    if bool(args.image) == bool(args.image_dir):
+        p.error("Provide exactly one of --image or --image-dir")
+    return args
+
+
+def load_engine(args):
+    from yolo_tpu.inference import YOLOInference
+    from yolo_tpu.models import create_model
+    from yolo_tpu.training.checkpoints import load_variables
+
+    model = create_model(args.backbone, num_classes=args.num_classes)
+    variables = load_variables(args.checkpoint)
+    return YOLOInference(model, variables)
+
+
+def predict_single_image(engine, image_path: Path, args, out_dir: Path):
+    from yolo_tpu.data import VOC_CLASSES
+    from yolo_tpu.utils.visualization import draw_detections
+
+    detections = engine.predict(
+        str(image_path),
+        conf_threshold=args.conf_threshold,
+        nms_threshold=args.nms_threshold,
+        class_names=VOC_CLASSES,
+    )
+    print(f"\n{image_path}: {len(detections)} objects")
+    for det in detections:
+        print(f"  {det.class_name}: {det.confidence:.2%} at {det.bbox}")
+
+    image = engine.load_image(str(image_path))
+    annotated = draw_detections(image, detections, VOC_CLASSES)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / f"{image_path.stem}_pred{image_path.suffix}"
+    annotated.save(out_path)
+    print(f"  saved -> {out_path}")
+    return detections
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    engine = load_engine(args)
+    out_dir = Path(args.output)
+
+    if args.image:
+        predict_single_image(engine, Path(args.image), args, out_dir)
+        return
+
+    image_dir = Path(args.image_dir)
+    exts = {".jpg", ".jpeg", ".png", ".bmp"}
+    paths = sorted(
+        p for p in image_dir.iterdir() if p.suffix.lower() in exts
+    )
+    if not paths:
+        print(f"No images found in {image_dir}")
+        return
+    total = 0
+    for path in paths:
+        dets = predict_single_image(engine, path, args, out_dir)
+        total += len(dets)
+    print(
+        f"\nProcessed {len(paths)} images, {total} detections "
+        f"({total / len(paths):.1f} per image)"
+    )
+
+
+if __name__ == "__main__":
+    main()

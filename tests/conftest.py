@@ -1,0 +1,37 @@
+"""Test configuration: force an 8-device CPU mesh before JAX initializes.
+
+Multi-device behavior is tested the TPU-native way: a virtual 8-device CPU
+platform via XLA_FLAGS (the reference has no distributed tests at all —
+SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+# Persistent XLA compilation cache: amortizes conv-graph compiles across test
+# processes (the dominant cost of the model tests on the CPU mesh).
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture
+def rng():
+    import jax
+
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,138 @@
+"""YOLO loss tests with hand-derived golden values.
+
+Each expectation is computed from the loss specification (reference
+src/yolo/loss.py:55-172) by hand/numpy in the test body — responsible-box
+selection, best-IoU confidence target (non-detached), noobj over losing boxes,
+sqrt-clamped wh, division by batch size.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.ops.loss import YOLOLoss, yolo_loss
+
+S, B, C = 2, 2, 3
+D = B * 5 + C
+
+
+def _iou(a, b, eps=1e-6):
+    ax1, ay1, ax2, ay2 = a[0] - a[2] / 2, a[1] - a[3] / 2, a[0] + a[2] / 2, a[1] + a[3] / 2
+    bx1, by1, bx2, by2 = b[0] - b[2] / 2, b[1] - b[3] / 2, b[0] + b[2] / 2, b[1] + b[3] / 2
+    iw = max(0.0, min(ax2, bx2) - max(ax1, bx1))
+    ih = max(0.0, min(ay2, by2) - max(ay1, by1))
+    inter = iw * ih
+    return inter / (a[2] * a[3] + b[2] * b[3] - inter + eps)
+
+
+def build_case():
+    """One object in cell (0,0); a stray confidence in an empty cell."""
+    pred = np.zeros((1, S, S, D), np.float32)
+    target = np.zeros((1, S, S, D), np.float32)
+
+    target[0, 0, 0, 0:5] = [0.5, 0.5, 0.4, 0.4, 1.0]
+    target[0, 0, 0, B * 5 + 1] = 1.0
+
+    pred[0, 0, 0, 0:5] = [0.5, 0.5, 0.4, 0.4, 0.8]  # box0: perfect match
+    pred[0, 0, 0, 5:10] = [0.1, 0.1, 0.1, 0.1, 0.3]  # box1: loser
+    pred[0, 0, 0, B * 5 :] = [0.2, 0.6, 0.1]
+
+    pred[0, 1, 1, 4] = 0.5  # empty-cell confidence -> noobj term
+    return jnp.asarray(pred), jnp.asarray(target)
+
+
+def test_loss_golden_components():
+    pred, target = build_case()
+    total, parts = yolo_loss(pred, target, S=S, B=B, C=C)
+
+    best_iou = _iou([0.5, 0.5, 0.4, 0.4], [0.5, 0.5, 0.4, 0.4])
+    exp_coord = 0.0  # responsible box coords identical to target
+    exp_conf_obj = (0.8 - best_iou) ** 2
+    exp_noobj = 0.5 * (0.3**2 + 0.5**2)  # loser box + empty-cell box
+    exp_class = (0.2 - 0) ** 2 + (0.6 - 1) ** 2 + (0.1 - 0) ** 2
+
+    np.testing.assert_allclose(float(parts["coord"]), exp_coord, atol=1e-6)
+    np.testing.assert_allclose(float(parts["conf_obj"]), exp_conf_obj, rtol=1e-5)
+    np.testing.assert_allclose(float(parts["conf_noobj"]), exp_noobj, rtol=1e-5)
+    np.testing.assert_allclose(float(parts["class"]), exp_class, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(total), exp_conf_obj + exp_noobj + exp_class, rtol=1e-5
+    )
+
+
+def test_loss_coord_term_and_lambda():
+    pred, target = build_case()
+    # Shift the responsible box: xy error (0.1^2 + 0) and wh sqrt error.
+    pred = pred.at[0, 0, 0, 0:4].set(jnp.asarray([0.6, 0.5, 0.3, 0.4]))
+    total, parts = yolo_loss(pred, target, S=S, B=B, C=C)
+    exp_xy = 0.1**2
+    exp_wh = (np.sqrt(0.3) - np.sqrt(0.4)) ** 2
+    np.testing.assert_allclose(
+        float(parts["coord"]), 5.0 * (exp_xy + exp_wh), rtol=1e-4
+    )
+    # lambda_coord scales it linearly.
+    _, parts2 = yolo_loss(pred, target, S=S, B=B, C=C, lambda_coord=10.0)
+    np.testing.assert_allclose(
+        float(parts2["coord"]), 2 * float(parts["coord"]), rtol=1e-5
+    )
+
+
+def test_responsible_box_is_best_iou():
+    pred, target = build_case()
+    # Make box1 the better match instead: now box0 becomes the noobj loser.
+    pred = pred.at[0, 0, 0, 0:5].set(jnp.asarray([0.1, 0.1, 0.1, 0.1, 0.3]))
+    pred = pred.at[0, 0, 0, 5:10].set(jnp.asarray([0.5, 0.5, 0.4, 0.4, 0.9]))
+    _, parts = yolo_loss(pred, target, S=S, B=B, C=C)
+    best_iou = _iou([0.5, 0.5, 0.4, 0.4], [0.5, 0.5, 0.4, 0.4])
+    np.testing.assert_allclose(
+        float(parts["conf_obj"]), (0.9 - best_iou) ** 2, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(parts["conf_noobj"]), 0.5 * (0.3**2 + 0.5**2), rtol=1e-5
+    )
+
+
+def test_loss_batch_division():
+    pred, target = build_case()
+    pred2 = jnp.concatenate([pred, pred])
+    target2 = jnp.concatenate([target, target])
+    t1, _ = yolo_loss(pred, target, S=S, B=B, C=C)
+    t2, _ = yolo_loss(pred2, target2, S=S, B=B, C=C)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
+
+
+def test_loss_no_objects():
+    pred = jnp.asarray(np.random.default_rng(0).normal(size=(2, S, S, D)), jnp.float32)
+    target = jnp.zeros((2, S, S, D), jnp.float32)
+    total, parts = yolo_loss(pred, target, S=S, B=B, C=C)
+    assert float(parts["coord"]) == 0.0
+    assert float(parts["conf_obj"]) == 0.0
+    assert float(parts["class"]) == 0.0
+    # noobj covers every box.
+    conf = np.asarray(pred[..., 4:B * 5:5])
+    exp = 0.5 * float((np.asarray(pred[..., [4, 9]]) ** 2).sum()) / 2
+    np.testing.assert_allclose(float(parts["conf_noobj"]), exp, rtol=1e-5)
+    assert np.isfinite(float(total))
+
+
+def test_loss_gradients_finite_and_nonzero():
+    pred, target = build_case()
+
+    def scalar_loss(p):
+        return yolo_loss(p, target, S=S, B=B, C=C)[0]
+
+    g = jax.grad(scalar_loss)(pred)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
+    # Gradient flows through the (non-detached) IoU confidence target: the
+    # target box coords influence conf_obj, so grads on pred box coords exist
+    # even when coordinates match exactly.
+    assert float(jnp.abs(g[0, 0, 0, 0:4]).sum()) > 0
+
+
+def test_yolo_loss_class_wrapper():
+    pred, target = build_case()
+    criterion = YOLOLoss(S=S, B=B, C=C)
+    total, parts = criterion(pred, target)
+    assert set(parts) == {"total", "coord", "conf_obj", "conf_noobj", "class"}
+    np.testing.assert_allclose(float(total), float(parts["total"]), rtol=1e-6)

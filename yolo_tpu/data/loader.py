@@ -1,0 +1,127 @@
+"""Prefetching host data loader feeding fixed-shape device batches.
+
+TPU-native replacement for the reference's ``torch.utils.data.DataLoader``
+worker processes (train.py:127-141): a thread pool decodes/augments samples
+(cv2/PIL release the GIL for the heavy work) while a bounded prefetch queue
+keeps the accelerator fed; batches are stacked into pinned numpy arrays ready
+for a single ``jax.device_put`` per step. Supports shuffling, drop_last (needed
+for fixed-shape jit), and deterministic per-epoch seeding.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class DataLoader:
+    """Iterate (images, targets) numpy batches from a map-style dataset.
+
+    Args:
+        dataset: object with __len__ and __getitem__ -> (image, target).
+        batch_size: samples per batch.
+        shuffle: reshuffle indices each epoch (seeded, reproducible).
+        num_workers: decode threads (0 = synchronous).
+        drop_last: drop the ragged final batch (default True for jit-friendly
+            fixed shapes; the evaluator pads instead of dropping).
+        prefetch: max batches resident in the queue.
+        seed: base shuffle seed; epoch index is mixed in.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 8,
+        drop_last: bool = True,
+        prefetch: int = 4,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.seed = seed
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the shuffle seed (call once per epoch for determinism)."""
+        self.epoch = epoch
+
+    def _index_batches(self) -> list:
+        n = len(self.dataset)
+        indices = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch * 10007)
+            rng.shuffle(indices)
+        batches = []
+        step = self.batch_size
+        limit = n - (n % step) if self.drop_last else n
+        for start in range(0, limit, step):
+            batches.append(indices[start : start + step])
+        if not self.drop_last and limit < n and n % step:
+            batches.append(indices[limit:])
+        return batches
+
+    def _assemble(self, batch_indices, executor) -> Tuple[np.ndarray, np.ndarray]:
+        if executor is None:
+            samples = [self.dataset[int(i)] for i in batch_indices]
+        else:
+            samples = list(executor.map(lambda i: self.dataset[int(i)], batch_indices))
+        images = np.stack([s[0] for s in samples])
+        targets = np.stack([s[1] for s in samples])
+        return images, targets
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        batches = self._index_batches()
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._assemble(b, None)
+            return
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as executor:
+                for b in batches:
+                    if stop.is_set():
+                        break
+                    try:
+                        out_q.put(self._assemble(b, executor))
+                    except Exception as exc:  # surface worker errors
+                        out_q.put(exc)
+                        break
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

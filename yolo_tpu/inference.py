@@ -1,0 +1,211 @@
+"""Inference engine: image -> jitted forward -> on-device decode + NMS.
+
+API parity with the reference engine (src/yolo/inference.py:12-317) — same
+``predict`` / ``parse_predictions`` / ``non_max_suppression`` / ``iou`` surface,
+including the deprecated ``iou_threshold`` alias — but the compute path is
+TPU-native: ONE jitted graph runs forward + decode + per-class NMS for a whole
+batch, and only the final (tiny) survivor list crosses to the host. The
+reference instead loops S x S x B cells in Python with an ``.item()`` sync per
+scalar (inference.py:174-208), the exact pattern the BASELINE throughput target
+forbids.
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from yolo_tpu.ops.boxes import EPSILON
+from yolo_tpu.ops.decode import Detections, decode_predictions
+from yolo_tpu.ops.nms import batched_nms
+
+# ImageNet statistics (reference: src/yolo/inference.py:62-64).
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def preprocess_array(image: np.ndarray, size: int = 448) -> np.ndarray:
+    """HWC uint8/float RGB -> normalized float32 (size, size, 3)."""
+    if image.dtype != np.float32:
+        image = image.astype(np.float32) / 255.0
+    if image.shape[:2] != (size, size):
+        pil = Image.fromarray((image * 255).astype(np.uint8))
+        pil = pil.resize((size, size), Image.BILINEAR)
+        image = np.asarray(pil, np.float32) / 255.0
+    return (image - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class YOLOInference:
+    """Run object detection with a jitted forward + postprocessing graph.
+
+    Args:
+        model: a linen ``YOLOv1`` module (has .S, .B, .num_classes).
+        variables: its {'params': ..., 'batch_stats': ...} pytree.
+        image_size: input resolution (default 448).
+
+    Example:
+        >>> engine = YOLOInference(model, variables)
+        >>> detections = engine.predict("image.jpg", conf_threshold=0.25)
+    """
+
+    def __init__(self, model, variables, image_size: int = 448):
+        self.model = model
+        self.variables = variables
+        self.image_size = image_size
+
+        @partial(jax.jit, static_argnames=("conf_threshold", "nms_threshold"))
+        def _predict_batch(images, conf_threshold, nms_threshold):
+            preds = model.apply(self.variables, images, train=False)
+            dets = decode_predictions(
+                preds.astype(jnp.float32),
+                model.S,
+                model.B,
+                model.num_classes,
+                conf_threshold,
+            )
+            return batched_nms(dets, nms_threshold)
+
+        self._predict_batch = _predict_batch
+
+    # ------------------------------------------------------------------- images
+    def load_image(self, image_path: str) -> Image.Image:
+        """Load an RGB PIL image (raises FileNotFoundError on bad path)."""
+        return Image.open(image_path).convert("RGB")
+
+    def preprocess_image(self, image: Image.Image) -> jnp.ndarray:
+        """PIL image -> (1, size, size, 3) normalized device array."""
+        resized = image.resize((self.image_size, self.image_size), Image.BILINEAR)
+        arr = np.asarray(resized, np.float32) / 255.0
+        arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+        return jnp.asarray(arr)[None]
+
+    # ------------------------------------------------------------------ predict
+    def predict(
+        self,
+        image_path: str,
+        conf_threshold: float = 0.5,
+        nms_threshold: float = 0.4,
+        class_names: Optional[Sequence[str]] = None,
+    ) -> List["Detection"]:
+        """Detect objects in one image file; returns Detection objects."""
+        image = self.load_image(image_path)
+        batch = self.preprocess_image(image)
+        dets = self._predict_batch(batch, conf_threshold, nms_threshold)
+        return self._to_detections(jax.device_get(dets), 0, class_names)
+
+    def predict_batch_arrays(
+        self,
+        images: jnp.ndarray,
+        conf_threshold: float = 0.5,
+        nms_threshold: float = 0.4,
+    ) -> Detections:
+        """Batched device-side prediction: (N, H, W, 3) -> Detections.
+
+        This is the throughput path: everything stays on device; no host sync
+        until the caller consumes the result.
+        """
+        return self._predict_batch(images, conf_threshold, nms_threshold)
+
+    def parse_predictions(
+        self,
+        pred: jnp.ndarray,
+        conf_threshold: float,
+        class_names: Optional[Sequence[str]] = None,
+    ) -> List["Detection"]:
+        """Decode one raw (S, S, B*5+C) grid into Detection objects (no NMS).
+
+        Parity with reference inference.py:141-210, but vectorized.
+        """
+        dets = decode_predictions(
+            jnp.asarray(pred, jnp.float32)[None],
+            self.model.S,
+            self.model.B,
+            self.model.num_classes,
+            conf_threshold,
+        )
+        return self._to_detections(jax.device_get(dets), 0, class_names)
+
+    def _to_detections(
+        self, dets: Detections, index: int, class_names: Optional[Sequence[str]]
+    ) -> List["Detection"]:
+        from yolo_tpu.schemas import BoundingBox, Detection
+
+        out = []
+        boxes = np.asarray(dets.boxes[index])
+        scores = np.asarray(dets.scores[index])
+        class_ids = np.asarray(dets.class_ids[index])
+        valid = np.asarray(dets.valid[index])
+        for k in np.nonzero(valid)[0]:
+            cid = int(class_ids[k])
+            name = class_names[cid] if class_names else f"class_{cid}"
+            x, y, w, h = (float(v) for v in boxes[k])
+            out.append(
+                Detection(
+                    class_id=cid,
+                    class_name=name,
+                    confidence=float(np.clip(scores[k], 0.0, 1.0)),
+                    bbox=BoundingBox(
+                        x=float(np.clip(x, 0, 1)),
+                        y=float(np.clip(y, 0, 1)),
+                        width=float(np.clip(w, 0, 1)),
+                        height=float(np.clip(h, 0, 1)),
+                    ),
+                )
+            )
+        # Confidence-descending, matching reference NMS output ordering.
+        out.sort(key=lambda d: -d.confidence)
+        return out
+
+    # -------------------------------------------------------- host-side helpers
+    def iou(self, bbox1, bbox2) -> float:
+        """Pairwise IoU on BoundingBox schemas (reference inference.py:212-249)."""
+        x1a, y1a, x2a, y2a = bbox1.to_corners()
+        x1b, y1b, x2b, y2b = bbox2.to_corners()
+        inter = max(0.0, min(x2a, x2b) - max(x1a, x1b)) * max(
+            0.0, min(y2a, y2b) - max(y1a, y1b)
+        )
+        return inter / (bbox1.area + bbox2.area - inter + EPSILON)
+
+    def non_max_suppression(
+        self,
+        detections: List["Detection"],
+        nms_threshold: Optional[float] = None,
+        iou_threshold: Optional[float] = None,
+    ) -> List["Detection"]:
+        """Host-side greedy per-class NMS on Detection lists.
+
+        Kept for API parity (reference inference.py:251-317), including the
+        DeprecationWarning for ``iou_threshold``. The batched device path
+        (``predict_batch_arrays``) is the performant route.
+        """
+        if iou_threshold is not None:
+            warnings.warn(
+                "Parameter 'iou_threshold' is deprecated, use 'nms_threshold'"
+                " instead.",
+                DeprecationWarning,
+                stacklevel=2,
+            )
+            threshold = iou_threshold
+        elif nms_threshold is not None:
+            threshold = nms_threshold
+        else:
+            threshold = 0.4
+
+        remaining = sorted(detections, key=lambda d: d.confidence, reverse=True)
+        keep: List = []
+        while remaining:
+            current = remaining.pop(0)
+            keep.append(current)
+            remaining = [
+                d
+                for d in remaining
+                if d.class_id != current.class_id
+                or self.iou(current.bbox, d.bbox) < threshold
+            ]
+        return keep

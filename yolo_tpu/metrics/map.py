@@ -1,0 +1,299 @@
+"""mean Average Precision evaluator, device-accumulated.
+
+Capability parity with reference src/yolo/metrics.py:17-714, redesigned for
+TPU: the reference decodes, NMS-es and matches every image with host-side
+Python loops and a ``.item()`` sync per scalar (its dominant eval cost —
+SURVEY.md §3.2). Here each batch runs ONE jitted computation
+(decode -> NMS -> greedy matching at all 10 IoU thresholds x 4 GT size
+filters), and the host only accumulates fixed-shape numpy arrays and does a
+final tiny sort/cumsum per class.
+
+Metric-surface parity (reference: metrics.py:102-171, 493-566):
+- mAP50:95 / mAP50 / mAP75
+- AP50_class_i / AP75_class_i / AP50:95_class_i for every class
+- overall precision / recall at IoU 0.5
+- size-based mAP50:95/mAP50/mAP75 for small/medium/large (COCO pixel
+  thresholds normalized by 448: (32/448)^2, (96/448)^2; metrics.py:509-512)
+- num_small/medium/large_objects counts
+- AP = 0 for classes with no GT or no predictions (metrics.py:375-379)
+- 11-point interpolated AP, VOC2007 style (metrics.py:427-437)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_tpu.ops.decode import decode_ground_truth, decode_predictions
+from yolo_tpu.ops.matching import match_detections
+from yolo_tpu.ops.nms import _nms_single
+
+EPSILON = 1e-6
+
+# Size buckets in normalized area (reference: metrics.py:509-512).
+SMALL_AREA = (32 / 448) ** 2
+MEDIUM_AREA = (96 / 448) ** 2
+
+_SIZE_NAMES = ("small", "medium", "large")
+
+
+@partial(jax.jit, static_argnames=("S", "B", "C"))
+def _process_batch(
+    predictions: jnp.ndarray,
+    targets: jnp.ndarray,
+    S: int,
+    B: int,
+    C: int,
+    conf_threshold: float,
+    nms_threshold: float,
+    thresholds: jnp.ndarray,
+):
+    """Decode + NMS + match one batch entirely on device.
+
+    Returns per-image fixed-shape arrays:
+      tp[(1+3) GT-filters]: (N, T, K) TP flags in score-sorted order
+      scores/class/valid (sorted), gt area-bucket counts, gt_valid count.
+    """
+    preds = decode_predictions(predictions, S, B, C, conf_threshold)
+    keep = jax.vmap(_nms_single, in_axes=(0, 0, 0, 0, None))(
+        preds.boxes, preds.scores, preds.class_ids, preds.valid, nms_threshold
+    )
+    gts = decode_ground_truth(targets, S, B, C)
+
+    area = gts.boxes[..., 2] * gts.boxes[..., 3]
+    small = gts.valid & (area < SMALL_AREA)
+    medium = gts.valid & (area >= SMALL_AREA) & (area < MEDIUM_AREA)
+    large = gts.valid & (area >= MEDIUM_AREA)
+
+    results = {}
+    for name, gt_valid in (
+        ("all", gts.valid),
+        ("small", small),
+        ("medium", medium),
+        ("large", large),
+    ):
+        tp, scores_s, class_s, valid_s = match_detections(
+            preds.boxes,
+            preds.scores,
+            preds.class_ids,
+            keep,
+            gts.boxes,
+            gts.class_ids,
+            gt_valid,
+            thresholds,
+        )
+        results[f"tp_{name}"] = tp
+        if name == "all":
+            results["scores"] = scores_s
+            results["class_ids"] = class_s
+            results["pred_valid"] = valid_s
+    results["gt_class_all"] = gts.class_ids
+    results["gt_valid_all"] = gts.valid
+    results["gt_valid_small"] = small
+    results["gt_valid_medium"] = medium
+    results["gt_valid_large"] = large
+    return results
+
+
+def _eleven_point_ap(precisions: np.ndarray, recalls: np.ndarray) -> float:
+    """11-point interpolated AP with [1.0]/[0.0] sentinels (metrics.py:416-437)."""
+    precisions = np.concatenate(([1.0], precisions))
+    recalls = np.concatenate(([0.0], recalls))
+    ap = 0.0
+    for t in np.linspace(0, 1, 11):
+        mask = recalls >= t
+        ap += (np.max(precisions[mask]) if mask.any() else 0.0) / 11
+    return float(ap)
+
+
+class mAPMetric:
+    """Streaming mAP metric: reset / update / compute (reference API parity).
+
+    Args mirror reference metrics.py:43-67: num_classes, iou_thresholds
+    (None -> 0.5:0.05:0.95; scalar accepted), conf_threshold (default 0.01),
+    nms_threshold (default 0.4), S, B.
+    """
+
+    def __init__(
+        self,
+        num_classes: int,
+        iou_thresholds: Optional[Sequence[float] | float] = None,
+        conf_threshold: float = 0.01,
+        nms_threshold: float = 0.4,
+        S: int = 7,
+        B: int = 2,
+    ):
+        self.num_classes = num_classes
+        if iou_thresholds is None:
+            self.iou_thresholds = [0.5 + 0.05 * i for i in range(10)]
+        elif isinstance(iou_thresholds, (int, float)):
+            self.iou_thresholds = [float(iou_thresholds)]
+        else:
+            self.iou_thresholds = list(iou_thresholds)
+        self.conf_threshold = conf_threshold
+        self.nms_threshold = nms_threshold
+        self.S = S
+        self.B = B
+        self._thresholds_dev = jnp.asarray(self.iou_thresholds, jnp.float32)
+        self.reset()
+
+    def reset(self):
+        """Drop all accumulated state."""
+        self._chunks: List[dict] = []
+
+    def update(self, predictions, targets):
+        """Accumulate one batch of raw (N, S, S, B*5+C) predictions/targets."""
+        out = _process_batch(
+            jnp.asarray(predictions, jnp.float32),
+            jnp.asarray(targets, jnp.float32),
+            self.S,
+            self.B,
+            self.num_classes,
+            self.conf_threshold,
+            self.nms_threshold,
+            self._thresholds_dev,
+        )
+        # Single host transfer per batch (vs. per-scalar .item() in reference).
+        self._chunks.append(jax.device_get(out))
+
+    # ------------------------------------------------------------------ compute
+    def _concat(self, key: str) -> np.ndarray:
+        return np.concatenate([c[key] for c in self._chunks], axis=0)
+
+    def compute(self) -> Dict[str, float]:
+        """Aggregate per-class / per-threshold / per-size AP on the host."""
+        if not self._chunks:
+            return {
+                "mAP50:95": 0.0,
+                "mAP50": 0.0,
+                "mAP75": 0.0,
+                "precision": 0.0,
+                "recall": 0.0,
+            }
+
+        scores = self._concat("scores")  # (I, K)
+        class_ids = self._concat("class_ids")
+        pred_valid = self._concat("pred_valid")
+        gt_class = self._concat("gt_class_all")
+        results: Dict[str, float] = {}
+        T = len(self.iou_thresholds)
+
+        thr_index = {t: i for i, t in enumerate(self.iou_thresholds)}
+
+        def ap_table(tp_key: str, gt_valid_key: str) -> np.ndarray:
+            """(num_classes, T) AP table for one GT size filter."""
+            tp = self._concat(tp_key)  # (I, T, K)
+            gt_valid = self._concat(gt_valid_key)  # (I, G)
+            aps = np.zeros((self.num_classes, T))
+            for c in range(self.num_classes):
+                n_gt = int((gt_valid & (gt_class == c)).sum())
+                if n_gt == 0:
+                    continue
+                sel = pred_valid & (class_ids == c)  # (I, K)
+                if not sel.any():
+                    continue
+                conf = scores[sel]
+                order = np.argsort(-conf, kind="stable")
+                for ti in range(T):
+                    tp_c = tp[:, ti, :][sel][order]
+                    tp_cum = np.cumsum(tp_c)
+                    fp_cum = np.cumsum(~tp_c)
+                    prec = tp_cum / (tp_cum + fp_cum + EPSILON)
+                    rec = tp_cum / n_gt
+                    aps[c, ti] = _eleven_point_ap(prec, rec)
+            return aps
+
+        aps = ap_table("tp_all", "gt_valid_all")
+        for c in range(self.num_classes):
+            if 0.5 in thr_index:
+                results[f"AP50_class_{c}"] = float(aps[c, thr_index[0.5]])
+            if 0.75 in thr_index:
+                results[f"AP75_class_{c}"] = float(aps[c, thr_index[0.75]])
+            results[f"AP50:95_class_{c}"] = float(aps[c].mean())
+        if 0.5 in thr_index:
+            results["mAP50"] = float(aps[:, thr_index[0.5]].mean())
+        if 0.75 in thr_index:
+            results["mAP75"] = float(aps[:, thr_index[0.75]].mean())
+        results["mAP50:95"] = float(aps.mean())
+
+        # Overall precision/recall at IoU 0.5 (reference: metrics.py:444-491).
+        if 0.5 in thr_index:
+            ti = thr_index[0.5]
+            tp_all = self._concat("tp_all")[:, ti, :]
+            total_tp = int(tp_all[pred_valid].sum())
+            total_pred = int(pred_valid.sum())
+            total_gt = int(self._concat("gt_valid_all").sum())
+            total_fp = total_pred - total_tp
+            results["precision"] = total_tp / (total_tp + total_fp + EPSILON)
+            results["recall"] = total_tp / (total_gt + EPSILON)
+        else:
+            results["precision"] = 0.0
+            results["recall"] = 0.0
+
+        # Size-based metrics (reference: metrics.py:493-566).
+        for size in _SIZE_NAMES:
+            gt_valid_sz = self._concat(f"gt_valid_{size}")
+            count = int(gt_valid_sz.sum())
+            results[f"num_{size}_objects"] = count
+            if count == 0:
+                results[f"mAP50:95_{size}"] = 0.0
+                results[f"mAP50_{size}"] = 0.0
+                results[f"mAP75_{size}"] = 0.0
+                continue
+            aps_sz = ap_table(f"tp_{size}", f"gt_valid_{size}")
+            if 0.5 in thr_index:
+                results[f"mAP50_{size}"] = float(aps_sz[:, thr_index[0.5]].mean())
+            if 0.75 in thr_index:
+                results[f"mAP75_{size}"] = float(aps_sz[:, thr_index[0.75]].mean())
+            results[f"mAP50:95_{size}"] = float(aps_sz.mean())
+
+        return results
+
+
+def evaluate_model(
+    model,
+    variables,
+    dataloader,
+    num_classes: int = 20,
+    iou_thresholds: Optional[Sequence[float]] = None,
+    conf_threshold: float = 0.01,
+    nms_threshold: float = 0.4,
+    S: int = 7,
+    B: int = 2,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Evaluate a YOLO model over a dataloader (reference: metrics.py:654-714).
+
+    ``model`` is a linen module, ``variables`` its {'params', 'batch_stats'}
+    pytree; ``dataloader`` yields (images NHWC float32, targets) numpy batches.
+    """
+    metric = mAPMetric(
+        num_classes=num_classes,
+        iou_thresholds=iou_thresholds,
+        conf_threshold=conf_threshold,
+        nms_threshold=nms_threshold,
+        S=S,
+        B=B,
+    )
+
+    @jax.jit
+    def forward(images):
+        return model.apply(variables, images, train=False)
+
+    iterator = dataloader
+    if verbose:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(dataloader, desc="Evaluating", unit="batch")
+        except ImportError:
+            pass
+
+    for images, targets in iterator:
+        preds = forward(jnp.asarray(images))
+        metric.update(preds, jnp.asarray(targets))
+    return metric.compute()

@@ -1,0 +1,128 @@
+"""Shared layer helpers: torch-compatible initializers and conv/pool wrappers.
+
+TPU-first choices:
+- NHWC activations and HWIO kernels (XLA's native TPU conv layout).
+- Explicit symmetric padding to match the reference's PyTorch conv arithmetic
+  exactly (torch pads (p, p); XLA 'SAME' can pad asymmetrically).
+- Optional compute dtype (bfloat16) with fp32 parameters, so the MXU runs in
+  bf16 while optimizer state stays full precision.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+from jax.nn.initializers import variance_scaling
+
+# PyTorch's default Conv2d/Linear init is kaiming_uniform(a=sqrt(5)), which is
+# exactly uniform(+-sqrt(1/fan_in)) = variance_scaling(1/3, fan_in, uniform).
+# Using it keeps from-scratch training dynamics comparable to the reference.
+torch_kernel_init = variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+def torch_bias_init(kernel_fan_in: int) -> Callable:
+    """PyTorch default bias init: uniform(+-1/sqrt(fan_in)) of the kernel."""
+    bound = 1.0 / (kernel_fan_in**0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-style symmetric padding and optional LeakyReLU(0.1).
+
+    Matches reference conv blocks (e.g. src/yolo/models.py:47-84) in padding
+    arithmetic; runs NHWC x HWIO on the MXU.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        fan_in = in_features * self.kernel_size * self.kernel_size
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        return y
+
+
+def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
+    """LeakyReLU with the reference's 0.1 negative slope (models.py passim)."""
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+def max_pool(
+    x: jnp.ndarray, window: int, stride: int, padding: int = 0
+) -> jnp.ndarray:
+    """Max pool with torch-style symmetric padding (pads with -inf)."""
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=pads,
+    )
+
+
+class Dense(nn.Module):
+    """Linear layer with torch-default init and fp32 params."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        fan_in = x.shape[-1]
+        return nn.Dense(
+            features=self.features,
+            kernel_init=torch_kernel_init,
+            bias_init=torch_bias_init(fan_in),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1).
+
+    linen's running-average momentum is (1 - torch_momentum) = 0.9. Running
+    stats live in the ``batch_stats`` collection and update only when
+    ``use_running_average=False`` — mirroring torch's train/eval split, where
+    even a frozen (requires_grad=False) backbone still updates BN stats in
+    train mode (reference freeze semantics: src/yolo/models.py:156-158).
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)

@@ -1,0 +1,92 @@
+"""The full YOLOv1 model: backbone + detection head combinator.
+
+Dispatch parity with reference src/yolo/models.py:179-276:
+- no backbone given        -> YOLOv1Backbone + SimpleHead
+- YOLOv1Backbone           -> SimpleHead (Flatten -> 4096 -> out)
+- ResNetBackbone           -> DetectionHead(2048-in)
+- custom backbone, no head -> ValueError
+Output is always (N, S, S, B*5 + C); 2-D head outputs are reshaped
+(reference: src/yolo/models.py:273-274).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_tpu.models.backbones import Backbone, ResNetBackbone, YOLOv1Backbone
+from yolo_tpu.models.heads import DetectionHead, SimpleHead
+
+
+class YOLOv1(nn.Module):
+    """YOLOv1 detector with modular backbone support.
+
+    Attributes mirror the reference model (src/yolo/models.py:189-196):
+    num_classes (C), S, B, plus the resolved backbone/head submodules.
+    """
+
+    num_classes: int = 20
+    S: int = 7
+    B: int = 2
+    backbone: Optional[nn.Module] = None
+    detection_head: Optional[nn.Module] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        backbone = self.backbone
+        if backbone is None:
+            backbone = YOLOv1Backbone(dtype=self.dtype)
+        self.backbone_module = backbone
+
+        head = self.detection_head
+        if head is None:
+            if isinstance(backbone, YOLOv1Backbone):
+                head = SimpleHead(
+                    num_classes=self.num_classes, S=self.S, B=self.B,
+                    dtype=self.dtype,
+                )
+            elif isinstance(backbone, ResNetBackbone):
+                head = DetectionHead(
+                    num_classes=self.num_classes, S=self.S, B=self.B,
+                    dtype=self.dtype,
+                )
+            else:
+                raise ValueError(
+                    "Must provide detection_head for custom backbone types"
+                )
+        self.head_module = head
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        features = self.backbone_module(x, train=train)
+        out = self.head_module(features, train=train)
+        if out.ndim == 2:
+            out = out.reshape(-1, self.S, self.S, self.B * 5 + self.num_classes)
+        return out
+
+
+def create_model(
+    backbone: str = "resnet",
+    num_classes: int = 20,
+    S: int = 7,
+    B: int = 2,
+    dtype: jnp.dtype = jnp.float32,
+) -> YOLOv1:
+    """Factory: 'resnet' (flagship, reference train.py:144-145) or 'yolov1'."""
+    if backbone == "resnet":
+        bb: nn.Module = ResNetBackbone(dtype=dtype)
+    elif backbone == "yolov1":
+        bb = YOLOv1Backbone(dtype=dtype)
+    else:
+        raise ValueError(f"Unknown backbone '{backbone}'")
+    return YOLOv1(num_classes=num_classes, S=S, B=B, backbone=bb, dtype=dtype)
+
+
+def init_model(
+    model: YOLOv1, rng: jax.Array, image_size: int = 448, batch_size: int = 1
+) -> dict:
+    """Initialize model variables ({'params': ..., 'batch_stats': ...})."""
+    dummy = jnp.zeros((batch_size, image_size, image_size, 3), model.dtype)
+    return model.init({"params": rng}, dummy, train=False)

@@ -1,0 +1,146 @@
+"""Checkpoint management: save/load full training state, plus .pth import.
+
+File-role parity with the reference (training/checkpoints.py:11-114 and
+trainer.py:307-351): ``yolo_latest`` every epoch, ``yolo_epoch_{N}`` at
+save_frequency, ``yolo_best`` by val loss (no scheduler state), and
+``yolo_best_map`` by mAP50:95 — with the same metadata keys
+(epoch/train_loss/val_loss/mAP50:95/mAP50/mAP75). Payloads are
+numpy-ified JAX pytrees in a single pickle file (.ckpt); reference .pth
+checkpoints are importable via ``yolo_tpu.convert``.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from yolo_tpu.training.logging import print_checkpoint_saved
+
+CHECKPOINT_VERSION = 1
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _save(path: Path, payload: Dict[str, Any]) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    tmp.replace(path)  # atomic on POSIX: no torn checkpoints on preemption
+
+
+def save_checkpoint(
+    checkpoint_path: str | Path,
+    epoch: int,
+    state,
+    train_losses: Dict[str, float],
+    val_losses: Dict[str, float],
+) -> None:
+    """Full checkpoint: model + optimizer + schedule step (resume-capable)."""
+    payload = {
+        "version": CHECKPOINT_VERSION,
+        "epoch": epoch,
+        "model_state_dict": {
+            "params": _to_numpy(state.params),
+            "batch_stats": _to_numpy(state.batch_stats),
+        },
+        "optimizer_state_dict": _to_numpy(state.opt_state),
+        "scheduler_state_dict": {"step": int(state.step)},
+        "train_loss": float(train_losses["total"]),
+        "val_loss": float(val_losses["total"]),
+    }
+    if "mAP50:95" in val_losses:
+        payload["mAP50:95"] = float(val_losses["mAP50:95"])
+        payload["mAP50"] = float(val_losses["mAP50"])
+        payload["mAP75"] = float(val_losses["mAP75"])
+    _save(Path(checkpoint_path), payload)
+    print_checkpoint_saved(checkpoint_path)
+
+
+def save_best_model(
+    checkpoint_path: str | Path,
+    epoch: int,
+    state,
+    val_losses: Dict[str, float],
+    metric_name: str,
+    metric_value: float,
+) -> None:
+    """Best-by-val-loss checkpoint (no scheduler state, matching reference)."""
+    payload = {
+        "version": CHECKPOINT_VERSION,
+        "epoch": epoch,
+        "model_state_dict": {
+            "params": _to_numpy(state.params),
+            "batch_stats": _to_numpy(state.batch_stats),
+        },
+        "optimizer_state_dict": _to_numpy(state.opt_state),
+        "val_loss": float(val_losses["total"]),
+    }
+    if "mAP50:95" in val_losses:
+        payload["mAP50:95"] = float(val_losses["mAP50:95"])
+        payload["mAP50"] = float(val_losses["mAP50"])
+        payload["mAP75"] = float(val_losses["mAP75"])
+    _save(Path(checkpoint_path), payload)
+    print_checkpoint_saved(checkpoint_path, metric_name, metric_value)
+
+
+def save_best_map_model(
+    checkpoint_path: str | Path,
+    epoch: int,
+    state,
+    val_losses: Dict[str, float],
+    map_value: float,
+) -> None:
+    """Best-by-mAP50:95 checkpoint."""
+    payload = {
+        "version": CHECKPOINT_VERSION,
+        "epoch": epoch,
+        "model_state_dict": {
+            "params": _to_numpy(state.params),
+            "batch_stats": _to_numpy(state.batch_stats),
+        },
+        "optimizer_state_dict": _to_numpy(state.opt_state),
+        "val_loss": float(val_losses["total"]),
+        "mAP50:95": float(val_losses["mAP50:95"]),
+        "mAP50": float(val_losses["mAP50"]),
+        "mAP75": float(val_losses["mAP75"]),
+    }
+    _save(Path(checkpoint_path), payload)
+    print_checkpoint_saved(checkpoint_path, "mAP@0.5:0.95", map_value)
+
+
+def load_checkpoint(checkpoint_path: str | Path) -> Dict[str, Any]:
+    """Load a .ckpt payload (or import a reference .pth via the converter)."""
+    path = Path(checkpoint_path)
+    if path.suffix == ".pth":
+        from yolo_tpu.convert import load_pth_checkpoint
+
+        return load_pth_checkpoint(path)
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def load_variables(checkpoint_path: str | Path) -> Dict[str, Any]:
+    """Load just the model variables {'params', 'batch_stats'} for inference."""
+    payload = load_checkpoint(checkpoint_path)
+    msd = payload["model_state_dict"]
+    return {"params": msd["params"], "batch_stats": msd.get("batch_stats", {})}
+
+
+def find_resume_path(
+    resume: Optional[str], checkpoint_dir: str | Path
+) -> Optional[Path]:
+    """Resolve --resume semantics (reference train.py:199-208): 'true'/True ->
+    <dir>/yolo_latest.ckpt, else the explicit path; None if flag unset."""
+    if not resume:
+        return None
+    if resume in (True, "true", "True"):
+        return Path(checkpoint_dir) / "yolo_latest.ckpt"
+    return Path(resume)
