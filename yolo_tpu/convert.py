@@ -102,20 +102,16 @@ def _convert_resnet_layers(
         elif module.startswith("bn"):
             _convert_bn(rest[3], value, params, stats, dest_block + (module,))
         elif module == "downsample":
-            if rest[3] == "weight" and value.ndim == 4:
+            # downsample.0 = 1x1 conv, downsample.1 = bn (torchvision naming).
+            if rest[3] == "0" and rest[4] == "weight":
                 _set(
                     params,
                     dest_block + ("downsample_conv", "Conv_0", "kernel"),
                     _t_conv(value),
                 )
-            elif bn_re.match(rest[4] if len(rest) > 4 else rest[3]):
-                # downsample.1.{weight,bias,running_*}
+            elif rest[3] == "1" and bn_re.match(rest[4]):
                 _convert_bn(
-                    rest[4] if len(rest) > 4 else rest[3],
-                    value,
-                    params,
-                    stats,
-                    dest_block + ("downsample_bn",),
+                    rest[4], value, params, stats, dest_block + ("downsample_bn",)
                 )
 
 
@@ -190,7 +186,7 @@ def convert_reference_state_dict(
             "backbone.extractor.",
             params,
             stats,
-            ("backbone_module",),
+            ("backbone",),
             _RESNET_CHILD_NAMES,
         )
         # Head convs: conv_layers Sequential indices 0,2,4,6 -> conv1..conv4.
@@ -198,26 +194,26 @@ def convert_reference_state_dict(
         for idx, name in conv_map.items():
             _set(
                 params,
-                ("head_module", name, "Conv_0", "kernel"),
+                ("detection_head", name, "Conv_0", "kernel"),
                 _t_conv(sd[f"head.conv_layers.{idx}.weight"]),
             )
             _set(
                 params,
-                ("head_module", name, "Conv_0", "bias"),
+                ("detection_head", name, "Conv_0", "bias"),
                 sd[f"head.conv_layers.{idx}.bias"],
             )
         _set(
             params,
-            ("head_module", "fc1", "Dense_0", "kernel"),
+            ("detection_head", "fc1", "Dense_0", "kernel"),
             _t_linear_from_flatten(sd["head.fc_layers.1.weight"], (1024, S, S)),
         )
-        _set(params, ("head_module", "fc1", "Dense_0", "bias"), sd["head.fc_layers.1.bias"])
+        _set(params, ("detection_head", "fc1", "Dense_0", "bias"), sd["head.fc_layers.1.bias"])
         _set(
             params,
-            ("head_module", "fc2", "Dense_0", "kernel"),
+            ("detection_head", "fc2", "Dense_0", "kernel"),
             _t_linear(sd["head.fc_layers.4.weight"]),
         )
-        _set(params, ("head_module", "fc2", "Dense_0", "bias"), sd["head.fc_layers.4.bias"])
+        _set(params, ("detection_head", "fc2", "Dense_0", "bias"), sd["head.fc_layers.4.bias"])
 
     elif backbone == "yolov1":
         conv_keys = sorted(
@@ -228,26 +224,26 @@ def convert_reference_state_dict(
             idx = key.split(".")[2]
             _set(
                 params,
-                ("backbone_module", f"Conv_{order}", "Conv_0", "kernel"),
+                ("backbone", f"Conv_{order}", "Conv_0", "kernel"),
                 _t_conv(sd[key]),
             )
             _set(
                 params,
-                ("backbone_module", f"Conv_{order}", "Conv_0", "bias"),
+                ("backbone", f"Conv_{order}", "Conv_0", "bias"),
                 sd[f"backbone.features.{idx}.bias"],
             )
         _set(
             params,
-            ("head_module", "fc1", "Dense_0", "kernel"),
+            ("detection_head", "fc1", "Dense_0", "kernel"),
             _t_linear_from_flatten(sd["head.1.weight"], (1024, S, S)),
         )
-        _set(params, ("head_module", "fc1", "Dense_0", "bias"), sd["head.1.bias"])
+        _set(params, ("detection_head", "fc1", "Dense_0", "bias"), sd["head.1.bias"])
         _set(
             params,
-            ("head_module", "fc2", "Dense_0", "kernel"),
+            ("detection_head", "fc2", "Dense_0", "kernel"),
             _t_linear(sd["head.4.weight"]),
         )
-        _set(params, ("head_module", "fc2", "Dense_0", "bias"), sd["head.4.bias"])
+        _set(params, ("detection_head", "fc2", "Dense_0", "bias"), sd["head.4.bias"])
     else:
         raise ValueError(f"Unknown backbone '{backbone}'")
 

@@ -36,32 +36,37 @@ class YOLOv1(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        backbone = self.backbone
-        if backbone is None:
-            backbone = YOLOv1Backbone(dtype=self.dtype)
-        self.backbone_module = backbone
+        # Canonical param-tree keys are "backbone" and "detection_head"
+        # regardless of whether the submodule was passed in (linen names
+        # dataclass-attribute modules by attribute name) or default-created
+        # here (explicit name=).
+        if self.backbone is not None:
+            self._backbone = self.backbone
+        else:
+            self._backbone = YOLOv1Backbone(dtype=self.dtype, name="backbone")
 
-        head = self.detection_head
-        if head is None:
+        if self.detection_head is not None:
+            self._head = self.detection_head
+        else:
+            backbone = self._backbone
             if isinstance(backbone, YOLOv1Backbone):
-                head = SimpleHead(
+                self._head = SimpleHead(
                     num_classes=self.num_classes, S=self.S, B=self.B,
-                    dtype=self.dtype,
+                    dtype=self.dtype, name="detection_head",
                 )
             elif isinstance(backbone, ResNetBackbone):
-                head = DetectionHead(
+                self._head = DetectionHead(
                     num_classes=self.num_classes, S=self.S, B=self.B,
-                    dtype=self.dtype,
+                    dtype=self.dtype, name="detection_head",
                 )
             else:
                 raise ValueError(
                     "Must provide detection_head for custom backbone types"
                 )
-        self.head_module = head
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        features = self.backbone_module(x, train=train)
-        out = self.head_module(features, train=train)
+        features = self._backbone(x, train=train)
+        out = self._head(features, train=train)
         if out.ndim == 2:
             out = out.reshape(-1, self.S, self.S, self.B * 5 + self.num_classes)
         return out

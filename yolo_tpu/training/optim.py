@@ -37,7 +37,7 @@ def freeze_labels(params, freeze_backbone: bool):
 
     def label(path, _):
         top = path[0].key if hasattr(path[0], "key") else str(path[0])
-        if freeze_backbone and top == "backbone_module":
+        if freeze_backbone and top == "backbone":
             return "frozen"
         return "trainable"
 
