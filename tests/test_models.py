@@ -127,3 +127,31 @@ def test_dropout_train_vs_eval():
         variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
     )
     assert not np.allclose(np.asarray(eval_out), np.asarray(train_out))
+
+
+def test_quantized_int8_path_matches_fp():
+    """Dynamic-int8 inference variant: identical param tree, close outputs.
+
+    The quantized model reuses fp32 checkpoints as-is (per-output-channel
+    weight scales + per-tensor dynamic activation scales are derived in-graph;
+    yolo_tpu/models/layers.py:_Int8ConvCore).
+    """
+    fp = YOLOv1(num_classes=20, S=7, B=2, backbone=ResNetBackbone())
+    q = YOLOv1(
+        num_classes=20,
+        S=7,
+        B=2,
+        backbone=ResNetBackbone(quantized=True),
+        quantized=True,
+    )
+    x = jnp.ones((1, 64, 64, 3)) * 0.05
+    variables = fp.init(jax.random.PRNGKey(0), x, train=False)
+    qvars = q.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        qvars
+    )
+
+    out_fp = np.asarray(fp.apply(variables, x, train=False))
+    out_q = np.asarray(q.apply(variables, x, train=False))
+    scale = np.abs(out_fp).max() + 1e-9
+    assert np.abs(out_fp - out_q).max() / scale < 0.05

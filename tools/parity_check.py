@@ -21,10 +21,44 @@ from pathlib import Path
 import numpy as np
 
 
+def _stub_torchvision() -> None:
+    """Stub the torchvision modules the reference package imports at
+    __init__ time; the loss/inference modules under test never touch them."""
+    import types
+
+    if "torchvision" in sys.modules:
+        return
+    sys.modules["torchvision"] = types.ModuleType("torchvision")
+
+    class _Any:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, *a, **k):
+            return None
+
+    class _AnyAttr(types.ModuleType):
+        def __getattr__(self, name):
+            return _Any
+
+    for name in ("torchvision.transforms", "torchvision.transforms.v2",
+                 "torchvision.models", "torchvision.datasets",
+                 "torchvision.tv_tensors"):
+        mod = _AnyAttr(name)
+        sys.modules[name] = mod
+    sys.modules["torchvision.transforms"].v2 = sys.modules[
+        "torchvision.transforms.v2"
+    ]
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision"].datasets = sys.modules["torchvision.datasets"]
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+
+
 def check_loss(ref_src: Path, trials: int = 5) -> bool:
     import torch
 
     sys.path.insert(0, str(ref_src))
+    _stub_torchvision()
     from yolo.loss import YOLOLoss as RefLoss  # reference module
 
     import jax
@@ -119,6 +153,62 @@ def check_decode_nms(ref_src: Path, trials: int = 5) -> bool:
     return ok
 
 
+def check_map(ref_src: Path, trials: int = 3) -> bool:
+    """Full mAP evaluator parity: random grids + random targets through the
+    reference mAPMetric (host Python loops, metrics.py:17-714) vs our
+    device-accumulated mAPMetric. Compares every result key."""
+    import torch
+
+    sys.path.insert(0, str(ref_src))
+    _stub_torchvision()
+    from yolo.metrics import mAPMetric as RefMetric
+
+    from yolo_tpu.metrics import mAPMetric
+
+    S, B, C = 7, 2, 20
+    ok = True
+    rng = np.random.default_rng(2)
+    for t in range(trials):
+        N = 4
+        preds = rng.uniform(0, 1, size=(N, S, S, B * 5 + C)).astype(np.float32)
+        targets = np.zeros_like(preds)
+        for n in range(N):
+            for _ in range(int(rng.integers(1, 7))):
+                i, j = rng.integers(0, S, 2)
+                targets[n, i, j, 0:5] = [
+                    *rng.uniform(0, 1, 2),
+                    *rng.uniform(0.02, 0.9, 2),
+                    1.0,
+                ]
+                targets[n, i, j, B * 5 + int(rng.integers(0, C))] = 1.0
+
+        ref = RefMetric(num_classes=C, conf_threshold=0.1, nms_threshold=0.4)
+        ref.update(torch.tensor(preds), torch.tensor(targets))
+        ref_res = ref.compute()
+
+        ours = mAPMetric(num_classes=C, conf_threshold=0.1, nms_threshold=0.4)
+        ours.update(preds, targets)
+        our_res = ours.compute()
+
+        worst = 0.0
+        worst_key = ""
+        for key, rv in ref_res.items():
+            if key not in our_res:
+                print(f"    missing key {key}")
+                ok = False
+                continue
+            d = abs(float(rv) - float(our_res[key]))
+            if d > worst:
+                worst, worst_key = d, key
+        status = "OK " if worst < 1e-4 else "FAIL"
+        ok &= status == "OK "
+        print(
+            f"  mAP trial {t}: {len(ref_res)} keys, worst |Δ|={worst:.2e}"
+            f" ({worst_key}) {status}"
+        )
+    return ok
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--reference", default="/root/reference")
@@ -137,6 +227,8 @@ def main():
     ok = check_loss(ref_src)
     print("Decode + NMS parity:")
     ok &= check_decode_nms(ref_src)
+    print("mAP evaluator parity:")
+    ok &= check_map(ref_src)
     print("PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

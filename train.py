@@ -58,11 +58,26 @@ def parse_args(argv=None):
                    help="tensor-parallel mesh axis size for the FC head")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--image-size", type=int, default=448)
+    p.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler device trace of the first training epoch"
+        " into DIR (view with TensorBoard's profile plugin / xprof)",
+    )
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    from yolo_tpu.utils.platform import (
+        respect_jax_platforms_env,
+        setup_compilation_cache,
+    )
+
+    respect_jax_platforms_env()
+    setup_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -146,6 +161,14 @@ def main(argv=None):
 
     mesh = make_mesh(n_data=args.mesh_data, n_model=args.mesh_model)
     print(f"Mesh: {mesh}")
+    n_data = mesh.shape["data"]
+    if args.batch_size % n_data != 0:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by the"
+            f" data-parallel mesh axis ({n_data} devices); pass e.g."
+            f" --batch-size {((args.batch_size // n_data) + 1) * n_data}"
+            f" or --mesh-data <divisor of {args.batch_size}>"
+        )
 
     milestones_epochs = [int(x) for x in args.lr_decay_epochs.split(",") if x.strip()]
     steps_per_epoch = len(train_loader)
@@ -242,6 +265,7 @@ def main(argv=None):
             start_epoch=start_epoch,
             best_val_loss_init=best_val_loss,
             best_map_init=best_map,
+            profile_dir=args.profile,
         )
         log_hyperparameters(writer, hparams, final_metrics)
     finally:

@@ -59,9 +59,12 @@ class YOLOInference:
         self.variables = variables
         self.image_size = image_size
 
+        # Variables are an explicit jit argument: closing over them would bake
+        # the full parameter tree into the compiled program as constants
+        # (minutes of compile + an executable-embedded copy of the weights).
         @partial(jax.jit, static_argnames=("conf_threshold", "nms_threshold"))
-        def _predict_batch(images, conf_threshold, nms_threshold):
-            preds = model.apply(self.variables, images, train=False)
+        def _predict_batch_impl(variables, images, conf_threshold, nms_threshold):
+            preds = model.apply(variables, images, train=False)
             dets = decode_predictions(
                 preds.astype(jnp.float32),
                 model.S,
@@ -71,7 +74,9 @@ class YOLOInference:
             )
             return batched_nms(dets, nms_threshold)
 
-        self._predict_batch = _predict_batch
+        self._predict_batch = lambda images, conf, nms: _predict_batch_impl(
+            self.variables, images, conf, nms
+        )
 
     # ------------------------------------------------------------------- images
     def load_image(self, image_path: str) -> Image.Image:

@@ -10,7 +10,7 @@ Component parity with reference src/yolo/models.py:
 
 from yolo_tpu.models.backbones import Backbone, ResNetBackbone, YOLOv1Backbone
 from yolo_tpu.models.heads import DetectionHead, SimpleHead
-from yolo_tpu.models.yolo import YOLOv1, create_model
+from yolo_tpu.models.yolo import YOLOv1, create_model, init_model
 
 __all__ = [
     "Backbone",
@@ -20,4 +20,5 @@ __all__ = [
     "YOLOv1",
     "YOLOv1Backbone",
     "create_model",
+    "init_model",
 ]

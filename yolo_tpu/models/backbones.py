@@ -34,11 +34,13 @@ class YOLOv1Backbone(Backbone):
     """
 
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         conv = lambda f, k, s=1, p=0: Conv(  # noqa: E731
-            features=f, kernel_size=k, stride=s, padding=p, dtype=self.dtype
+            features=f, kernel_size=k, stride=s, padding=p, dtype=self.dtype,
+            quantized=self.quantized,
         )
         # Stage 1: 448 -> 224 -> 112
         x = leaky_relu(conv(64, 7, 2, 3)(x))
@@ -78,27 +80,31 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         identity = x
-        out = Conv(self.planes, 1, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        q = self.quantized
+        out = Conv(self.planes, 1, use_bias=False, dtype=self.dtype,
+                   quantized=q, name="conv1")(x)
         out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = Conv(
             self.planes, 3, self.stride, 1, use_bias=False, dtype=self.dtype,
-            name="conv2",
+            quantized=q, name="conv2",
         )(out)
         out = BatchNorm(dtype=self.dtype, name="bn2")(out, train)
         out = nn.relu(out)
         out = Conv(
-            self.planes * 4, 1, use_bias=False, dtype=self.dtype, name="conv3"
+            self.planes * 4, 1, use_bias=False, dtype=self.dtype, quantized=q,
+            name="conv3",
         )(out)
         out = BatchNorm(dtype=self.dtype, name="bn3")(out, train)
         if self.downsample:
             identity = Conv(
                 self.planes * 4, 1, self.stride, use_bias=False, dtype=self.dtype,
-                name="downsample_conv",
+                quantized=q, name="downsample_conv",
             )(x)
             identity = BatchNorm(dtype=self.dtype, name="downsample_bn")(
                 identity, train
@@ -122,10 +128,12 @@ class ResNetBackbone(Backbone):
 
     dtype: jnp.dtype = jnp.float32
     stage_sizes: tuple = (3, 4, 6, 3)
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
+                 quantized=self.quantized, name="conv1")(x)
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)
@@ -138,6 +146,7 @@ class ResNetBackbone(Backbone):
                     stride=stride if block == 0 else 1,
                     downsample=block == 0,
                     dtype=self.dtype,
+                    quantized=self.quantized,
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train)
             planes *= 2

@@ -49,12 +49,13 @@ class DetectionHead(nn.Module):
     S: int = 7
     B: int = 2
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         conv = lambda f, k, s=1, p=0, name=None: Conv(  # noqa: E731
             features=f, kernel_size=k, stride=s, padding=p, dtype=self.dtype,
-            name=name,
+            quantized=self.quantized, name=name,
         )
         x = leaky_relu(conv(1024, 3, 1, 1, name="conv1")(x))
         x = leaky_relu(conv(1024, 3, 2, 1, name="conv2")(x))

@@ -40,6 +40,12 @@ class Conv(nn.Module):
 
     Matches reference conv blocks (e.g. src/yolo/models.py:47-84) in padding
     arithmetic; runs NHWC x HWIO on the MXU.
+
+    ``quantized=True`` switches the compute path to dynamic int8 post-training
+    quantization for inference: per-output-channel symmetric weight scales and
+    a per-tensor dynamic activation scale, int8 x int8 -> int32 on the MXU
+    (2x the bf16 peak on v5e), dequantized in the epilogue. The parameter
+    tree is unchanged — trained fp32 checkpoints work as-is.
     """
 
     features: int
@@ -48,11 +54,23 @@ class Conv(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
         fan_in = in_features * self.kernel_size * self.kernel_size
+        if self.quantized:
+            # Same "Conv_0" scope as nn.Conv so fp32 checkpoints load as-is.
+            return _Int8ConvCore(
+                features=self.features,
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                padding=self.padding,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                name="Conv_0",
+            )(x)
         y = nn.Conv(
             features=self.features,
             kernel_size=(self.kernel_size, self.kernel_size),
@@ -65,6 +83,58 @@ class Conv(nn.Module):
             param_dtype=jnp.float32,
         )(x)
         return y
+
+
+class _Int8ConvCore(nn.Module):
+    """Dynamic-int8 conv core: parameters named like ``nn.Conv`` (kernel/bias).
+
+    Weights: symmetric per-output-channel scales (max|W|/127, the standard
+    PTQ recipe). Activations: one dynamic per-tensor scale per call — no
+    calibration pass needed, and the reduction is a single fused pass over
+    the activations. The conv itself runs int8 x int8 -> int32 on the MXU.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    use_bias: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_features = x.shape[-1]
+        fan_in = in_features * self.kernel_size * self.kernel_size
+        kernel = self.param(
+            "kernel",
+            torch_kernel_init,
+            (self.kernel_size, self.kernel_size, in_features, self.features),
+            jnp.float32,
+        )
+        s_w = jnp.maximum(
+            jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0, 1e-8
+        )  # (features,)
+        w_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+
+        s_x = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))) / 127.0, 1e-8)
+        x_q = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s_x), -127, 127
+        ).astype(jnp.int8)
+
+        y = lax.conv_general_dilated(
+            x_q,
+            w_q,
+            (self.stride, self.stride),
+            [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (s_x * s_w)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(fan_in), (self.features,),
+                              jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
 
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:

@@ -34,6 +34,7 @@ class YOLOv1(nn.Module):
     backbone: Optional[nn.Module] = None
     detection_head: Optional[nn.Module] = None
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     def setup(self):
         # Canonical param-tree keys are "backbone" and "detection_head"
@@ -43,7 +44,9 @@ class YOLOv1(nn.Module):
         if self.backbone is not None:
             self._backbone = self.backbone
         else:
-            self._backbone = YOLOv1Backbone(dtype=self.dtype, name="backbone")
+            self._backbone = YOLOv1Backbone(
+                dtype=self.dtype, quantized=self.quantized, name="backbone"
+            )
 
         if self.detection_head is not None:
             self._head = self.detection_head
@@ -57,7 +60,8 @@ class YOLOv1(nn.Module):
             elif isinstance(backbone, ResNetBackbone):
                 self._head = DetectionHead(
                     num_classes=self.num_classes, S=self.S, B=self.B,
-                    dtype=self.dtype, name="detection_head",
+                    dtype=self.dtype, quantized=self.quantized,
+                    name="detection_head",
                 )
             else:
                 raise ValueError(
@@ -78,20 +82,38 @@ def create_model(
     S: int = 7,
     B: int = 2,
     dtype: jnp.dtype = jnp.float32,
+    quantized: bool = False,
 ) -> YOLOv1:
-    """Factory: 'resnet' (flagship, reference train.py:144-145) or 'yolov1'."""
+    """Factory: 'resnet' (flagship, reference train.py:144-145) or 'yolov1'.
+
+    ``quantized=True`` builds the dynamic-int8 inference variant (same param
+    tree; conv compute runs int8 on the MXU — inference only).
+    """
     if backbone == "resnet":
-        bb: nn.Module = ResNetBackbone(dtype=dtype)
+        bb: nn.Module = ResNetBackbone(dtype=dtype, quantized=quantized)
     elif backbone == "yolov1":
-        bb = YOLOv1Backbone(dtype=dtype)
+        bb = YOLOv1Backbone(dtype=dtype, quantized=quantized)
     else:
         raise ValueError(f"Unknown backbone '{backbone}'")
-    return YOLOv1(num_classes=num_classes, S=S, B=B, backbone=bb, dtype=dtype)
+    return YOLOv1(
+        num_classes=num_classes, S=S, B=B, backbone=bb, dtype=dtype,
+        quantized=quantized,
+    )
 
 
 def init_model(
     model: YOLOv1, rng: jax.Array, image_size: int = 448, batch_size: int = 1
 ) -> dict:
-    """Initialize model variables ({'params': ..., 'batch_stats': ...})."""
+    """Initialize model variables ({'params': ..., 'batch_stats': ...}).
+
+    The init runs under jit: eager flax init dispatches every layer's op
+    individually, which is pathologically slow on remote-attached TPUs
+    (~250s for ResNet50 over an axon tunnel vs ~1s jitted).
+    """
     dummy = jnp.zeros((batch_size, image_size, image_size, 3), model.dtype)
-    return model.init({"params": rng}, dummy, train=False)
+
+    @jax.jit
+    def _init(rng):
+        return model.init({"params": rng}, dummy, train=False)
+
+    return _init(rng)

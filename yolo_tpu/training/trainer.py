@@ -143,7 +143,11 @@ class Trainer:
     ) -> TrainState:
         init_rng, state_rng = jax.random.split(rng)
         dummy = jnp.zeros((init_batch, image_size, image_size, 3), self.model.dtype)
-        variables = self.model.init({"params": init_rng}, dummy, train=False)
+        # Jitted init: eager flax init is per-op dispatch (minutes on a
+        # remote-attached TPU); one compiled program takes ~a second.
+        variables = jax.jit(
+            lambda r: self.model.init({"params": r}, dummy, train=False)
+        )(init_rng)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = self.tx.init(params)
@@ -272,6 +276,7 @@ def train(
     start_epoch: int = 1,
     best_val_loss_init: Optional[float] = None,
     best_map_init: Optional[float] = None,
+    profile_dir: Optional[str] = None,
 ) -> Dict[str, float]:
     """Epoch loop with the reference's checkpoint cadence (trainer.py:220-364).
 
@@ -290,7 +295,17 @@ def train(
         if hasattr(train_loader, "set_epoch"):
             train_loader.set_epoch(epoch)
 
-        state, train_losses = trainer.train_epoch(state, train_loader, epoch, writer)
+        if profile_dir is not None and epoch == start_epoch:
+            # Device trace of the first epoch (aux subsystem the reference
+            # lacks — SURVEY.md §5; view in TensorBoard's profile plugin).
+            with jax.profiler.trace(str(profile_dir)):
+                state, train_losses = trainer.train_epoch(
+                    state, train_loader, epoch, writer
+                )
+        else:
+            state, train_losses = trainer.train_epoch(
+                state, train_loader, epoch, writer
+            )
         print_loss_metrics("Training", train_losses, epoch)
 
         print("\nValidating...")
