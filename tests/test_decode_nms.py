@@ -138,3 +138,21 @@ def test_nms_full_pipeline_from_grid():
     kept = np.nonzero(np.asarray(out.valid[0]))[0]
     assert len(kept) == 1
     assert float(out.scores[0, kept[0]]) > 0.85
+
+
+def test_pallas_nms_matches_xla_nms():
+    """The fused Pallas greedy-NMS kernel (interpret mode on CPU) keeps the
+    exact same candidate set as the XLA argsort+scan implementation."""
+    import numpy as np
+
+    from yolo_tpu.ops.decode import decode_predictions
+    from yolo_tpu.ops.nms import batched_nms
+    from yolo_tpu.ops.pallas_nms import pallas_nms
+
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        pred = rng.uniform(0, 1, size=(4, 7, 7, 30)).astype(np.float32)
+        dets = decode_predictions(jnp.asarray(pred), 7, 2, 20, 0.3)
+        ref = batched_nms(dets, 0.4)
+        ours = pallas_nms(dets, 0.4, interpret=True)
+        assert bool(jnp.all(ref.valid == ours.valid))

@@ -48,16 +48,27 @@ class YOLOInference:
         model: a linen ``YOLOv1`` module (has .S, .B, .num_classes).
         variables: its {'params': ..., 'batch_stats': ...} pytree.
         image_size: input resolution (default 448).
+        nms_impl: "xla" (argsort + masked scan, the default) or "pallas"
+            (fused VMEM-resident selection kernel, yolo_tpu/ops/pallas_nms.py).
+            Both implement identical greedy semantics and tie-breaking.
 
     Example:
         >>> engine = YOLOInference(model, variables)
         >>> detections = engine.predict("image.jpg", conf_threshold=0.25)
     """
 
-    def __init__(self, model, variables, image_size: int = 448):
+    def __init__(
+        self, model, variables, image_size: int = 448, nms_impl: str = "xla"
+    ):
         self.model = model
         self.variables = variables
         self.image_size = image_size
+        if nms_impl not in ("xla", "pallas"):
+            raise ValueError(f"nms_impl must be 'xla' or 'pallas', got {nms_impl!r}")
+        if nms_impl == "pallas":
+            from yolo_tpu.ops.pallas_nms import pallas_nms as _nms
+        else:
+            _nms = batched_nms
 
         # Variables are an explicit jit argument: closing over them would bake
         # the full parameter tree into the compiled program as constants
@@ -72,7 +83,7 @@ class YOLOInference:
                 model.num_classes,
                 conf_threshold,
             )
-            return batched_nms(dets, nms_threshold)
+            return _nms(dets, nms_threshold)
 
         self._predict_batch = lambda images, conf, nms: _predict_batch_impl(
             self.variables, images, conf, nms

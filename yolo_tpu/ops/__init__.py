@@ -14,9 +14,11 @@ from yolo_tpu.ops.boxes import (
 )
 from yolo_tpu.ops.decode import decode_predictions, decode_ground_truth
 from yolo_tpu.ops.nms import batched_nms
+from yolo_tpu.ops.pallas_nms import pallas_nms
 from yolo_tpu.ops.loss import yolo_loss, YOLOLoss
 
 __all__ = [
+    "pallas_nms",
     "box_area",
     "center_to_corners",
     "corners_to_center",
