@@ -169,3 +169,30 @@ def test_checkpoint_roundtrip(tmp_path):
     orig = jax.device_get(state.params)
     for a, b in zip(jax.tree.leaves(orig), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from yolo_tpu.training.checkpoints import (
+        restore_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    model = tiny_model()
+    tx = make_optimizer(1e-4, 0.0, milestones_steps=[])
+    trainer = Trainer(model, tx)
+    state = trainer.create_state(jax.random.PRNGKey(0), image_size=56)
+    images, targets = tiny_batch(4)
+    state, _ = trainer._train_step(state, jnp.asarray(images), jnp.asarray(targets))
+
+    save_checkpoint_orbax(tmp_path, 1, state, {"val_loss": 3.25})
+
+    fresh = trainer.create_state(jax.random.PRNGKey(1), image_size=56)
+    restored, step, metrics = restore_checkpoint_orbax(tmp_path, fresh)
+    assert step == 1
+    assert metrics["val_loss"] == 3.25
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state.params)),
+        jax.tree.leaves(jax.device_get(restored.params)),
+    ):
+        np.testing.assert_array_equal(a, b)
+    assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))

@@ -65,6 +65,12 @@ def parse_args(argv=None):
         help="capture a jax.profiler device trace of the first training epoch"
         " into DIR (view with TensorBoard's profile plugin / xprof)",
     )
+    p.add_argument(
+        "--orbax-checkpoints",
+        action="store_true",
+        help="additionally write async sharded orbax snapshots per epoch"
+        " (checkpoint-dir/orbax/<epoch>); resume with --resume orbax",
+    )
     return p.parse_args(argv)
 
 
@@ -124,6 +130,7 @@ def main(argv=None):
         download=args.download_data,
         root=args.data_root,
         augment=not args.no_augment,
+        target_size=(args.image_size, args.image_size),
     )
     print("Creating validation dataset (VOC 2012 val)...")
     val_dataset = create_voc_datasets(
@@ -131,6 +138,7 @@ def main(argv=None):
         download=args.download_data,
         root=args.data_root,
         augment=False,
+        target_size=(args.image_size, args.image_size),
     )
     print_dataset_info(len(train_dataset), len(val_dataset), not args.no_augment)
 
@@ -212,7 +220,16 @@ def main(argv=None):
 
     # Resume.
     start_epoch, best_val_loss, best_map = 1, None, None
-    resume_path = find_resume_path(args.resume, checkpoint_dir)
+    if args.resume == "orbax":
+        from yolo_tpu.training.checkpoints import restore_checkpoint_orbax
+
+        state, step, metrics = restore_checkpoint_orbax(checkpoint_dir, state)
+        start_epoch = step + 1
+        best_val_loss = metrics.get("val_loss")
+        print(f"\nResumed from orbax step {step}, starting at {start_epoch}")
+        resume_path = None
+    else:
+        resume_path = find_resume_path(args.resume, checkpoint_dir)
     if resume_path is not None:
         if resume_path.exists():
             print(f"\nResuming from checkpoint: {resume_path}")
@@ -266,6 +283,7 @@ def main(argv=None):
             best_val_loss_init=best_val_loss,
             best_map_init=best_map,
             profile_dir=args.profile,
+            use_orbax=args.orbax_checkpoints,
         )
         log_hyperparameters(writer, hparams, final_metrics)
     finally:

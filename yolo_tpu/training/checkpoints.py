@@ -134,6 +134,84 @@ def load_variables(checkpoint_path: str | Path) -> Dict[str, Any]:
     return {"params": msd["params"], "batch_stats": msd.get("batch_stats", {})}
 
 
+# ------------------------------------------------------------------- orbax
+def save_checkpoint_orbax(
+    checkpoint_dir: str | Path,
+    step: int,
+    state,
+    metrics: Optional[Dict[str, float]] = None,
+) -> None:
+    """Async, sharded checkpoint via orbax (the TPU-idiomatic path).
+
+    Unlike the pickle format (which device_gets the full state to one host),
+    orbax writes each shard from its owning host/device — the right mechanism
+    for multi-host meshes — and returns before the write completes (async).
+    Layout: ``<dir>/orbax/<step>/``; restore with
+    :func:`restore_checkpoint_orbax`.
+    """
+    import orbax.checkpoint as ocp
+
+    path = (Path(checkpoint_dir) / "orbax").absolute()
+    with ocp.CheckpointManager(
+        path, options=ocp.CheckpointManagerOptions(max_to_keep=3)
+    ) as mngr:
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+        }
+        mngr.save(
+            int(step),
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+                metrics=ocp.args.JsonSave(
+                    {k: float(v) for k, v in (metrics or {}).items()}
+                ),
+            ),
+        )
+        mngr.wait_until_finished()
+
+
+def restore_checkpoint_orbax(
+    checkpoint_dir: str | Path, state, step: Optional[int] = None
+):
+    """Restore a :func:`save_checkpoint_orbax` checkpoint into ``state``.
+
+    Returns (state, step, metrics). ``state`` provides the pytree structure
+    and shardings (restore is placed directly onto the mesh).
+    """
+    import orbax.checkpoint as ocp
+
+    path = (Path(checkpoint_dir) / "orbax").absolute()
+    with ocp.CheckpointManager(path) as mngr:
+        step = int(step if step is not None else mngr.latest_step())
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+        }
+        restored = mngr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(template),
+                metrics=ocp.args.JsonRestore(),
+            ),
+        )
+    loaded = restored["state"]
+    new_state = state.replace(
+        params=loaded["params"],
+        batch_stats=loaded["batch_stats"],
+        opt_state=loaded["opt_state"],
+        step=loaded["step"],
+        rng=loaded["rng"],
+    )
+    return new_state, step, restored["metrics"]
+
+
 def find_resume_path(
     resume: Optional[str], checkpoint_dir: str | Path
 ) -> Optional[Path]:

@@ -277,6 +277,7 @@ def train(
     best_val_loss_init: Optional[float] = None,
     best_map_init: Optional[float] = None,
     profile_dir: Optional[str] = None,
+    use_orbax: bool = False,
 ) -> Dict[str, float]:
     """Epoch loop with the reference's checkpoint cadence (trainer.py:220-364).
 
@@ -335,6 +336,18 @@ def train(
         save_checkpoint(
             checkpoint_dir / "yolo_latest.ckpt", epoch, state, train_losses, val_losses
         )
+        if use_orbax:
+            # Async sharded per-epoch snapshots (TPU-idiomatic; multi-host
+            # safe) alongside the reference-parity pickle files.
+            from yolo_tpu.training.checkpoints import save_checkpoint_orbax
+
+            save_checkpoint_orbax(
+                checkpoint_dir,
+                epoch,
+                state,
+                {"train_loss": train_losses["total"],
+                 "val_loss": val_losses["total"]},
+            )
         if epoch % save_frequency == 0:
             save_checkpoint(
                 checkpoint_dir / f"yolo_epoch_{epoch}.ckpt",
