@@ -103,6 +103,7 @@ def main(argv=None):
         download=args.download_data,
         root=args.data_root,
         augment=False,
+        normalize_host=False,
     )
     loader = DataLoader(
         dataset,
@@ -117,6 +118,8 @@ def main(argv=None):
     model = create_model(args.backbone, num_classes=args.num_classes, dtype=dtype)
 
     ckpt_path = Path(args.checkpoint)
+    if not ckpt_path.exists():
+        raise SystemExit(f"Checkpoint not found: {ckpt_path}")
     payload = load_checkpoint(ckpt_path)
     variables = {
         "params": payload["model_state_dict"]["params"],

@@ -35,6 +35,8 @@ def load_engine(args):
     from yolo_tpu.models import create_model
     from yolo_tpu.training.checkpoints import load_variables
 
+    if not Path(args.checkpoint).exists():
+        raise SystemExit(f"Checkpoint not found: {args.checkpoint}")
     model = create_model(args.backbone, num_classes=args.num_classes)
     variables = load_variables(args.checkpoint)
     return YOLOInference(model, variables)

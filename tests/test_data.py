@@ -193,3 +193,24 @@ def test_loader_shuffle_determinism(tmp_path):
     l2.set_epoch(1)
     b3 = next(iter(l2))[0]
     assert not np.array_equal(b1, b3)
+
+
+def test_normalize_host_false_uint8_path(tmp_path):
+    """normalize_host=False ships uint8; device_normalize matches host math."""
+    import jax.numpy as jnp
+
+    from yolo_tpu.data.transforms import device_normalize, normalize
+
+    make_voc_tree(tmp_path)
+    ds_u8 = VOCDetectionYOLO(root=tmp_path, year="2007", image_set="train",
+                             augment=False, normalize_host=False)
+    img_u8, target = ds_u8[0]
+    assert img_u8.dtype == np.uint8
+    assert img_u8.shape == (448, 448, 3)
+
+    ds_f32 = VOCDetectionYOLO(root=tmp_path, year="2007", image_set="train",
+                              augment=False)
+    img_f32, _ = ds_f32[0]
+    on_device = np.asarray(device_normalize(jnp.asarray(img_u8)))
+    np.testing.assert_allclose(on_device, img_f32, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(normalize(img_u8), img_f32, rtol=1e-5, atol=1e-5)

@@ -131,6 +131,7 @@ def main(argv=None):
         root=args.data_root,
         augment=not args.no_augment,
         target_size=(args.image_size, args.image_size),
+        normalize_host=False,
     )
     print("Creating validation dataset (VOC 2012 val)...")
     val_dataset = create_voc_datasets(
@@ -139,6 +140,7 @@ def main(argv=None):
         root=args.data_root,
         augment=False,
         target_size=(args.image_size, args.image_size),
+        normalize_host=False,
     )
     print_dataset_info(len(train_dataset), len(val_dataset), not args.no_augment)
 

@@ -208,6 +208,7 @@ class VOCDetectionYOLO:
         target_size: Tuple[int, int] = (448, 448),
         augment: bool = True,
         seed: int = 0,
+        normalize_host: bool = True,
     ):
         self.S = S
         self.B = B
@@ -217,6 +218,10 @@ class VOCDetectionYOLO:
         self.class_to_idx = CLASS_TO_IDX
         self.class_names = VOC_CLASSES
         self.transform = transform
+        # normalize_host=False defers ImageNet normalization to the device
+        # (uint8 batches: 4x smaller host->device transfer; see
+        # transforms.device_normalize).
+        self.normalize_host = normalize_host
         self._rng = np.random.default_rng(seed)
 
         base_year = year.split("-")[0]
@@ -249,12 +254,17 @@ class VOCDetectionYOLO:
             image = self.transform(image)
         elif self.augment:
             image, boxes = T.train_transform(
-                image, boxes, self._rng, self.target_size
+                image, boxes, self._rng, self.target_size,
+                normalize_host=self.normalize_host,
             )
         else:
-            image = T.eval_transform(image, self.target_size)
+            image = T.eval_transform(
+                image, self.target_size, normalize_host=self.normalize_host
+            )
 
         target = encode_target(boxes, class_ids, self.S, self.B, self.C)
+        if not self.normalize_host and image.dtype == np.uint8:
+            return image, target
         return image.astype(np.float32), target
 
     def visualize_sample(self, idx: int) -> dict:
@@ -302,6 +312,7 @@ def create_voc_datasets(
     target_size: Tuple[int, int] = (448, 448),
     augment: bool = True,
     root: Optional[str | Path] = None,
+    normalize_host: bool = True,
 ):
     """Build one (possibly combined) dataset from (year, split) pairs
     (reference dataset.py:662-720)."""
@@ -315,6 +326,7 @@ def create_voc_datasets(
             B=B,
             target_size=target_size,
             augment=augment,
+            normalize_host=normalize_host,
         )
         for year, image_set in years_and_splits
     ]

@@ -281,8 +281,12 @@ def evaluate_model(
     )
 
     @jax.jit
-    def forward(images):
-        return model.apply(variables, images, train=False)
+    def forward(variables, images):
+        if images.dtype == jnp.uint8:
+            from yolo_tpu.data.transforms import device_normalize
+
+            images = device_normalize(images)
+        return model.apply(variables, images.astype(model.dtype), train=False)
 
     iterator = dataloader
     if verbose:
@@ -294,6 +298,6 @@ def evaluate_model(
             pass
 
     for images, targets in iterator:
-        preds = forward(jnp.asarray(images))
+        preds = forward(variables, jnp.asarray(images))
         metric.update(preds, jnp.asarray(targets))
     return metric.compute()

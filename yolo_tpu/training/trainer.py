@@ -43,6 +43,19 @@ from yolo_tpu.training.logging import (
 _LOSS_KEYS = ("total", "coord", "conf_obj", "conf_noobj", "class")
 
 
+def _prep_images(images, dtype):
+    """Cast a batch to the compute dtype, normalizing uint8 batches in-graph.
+
+    Loaders running with ``normalize_host=False`` ship raw uint8 (4x smaller
+    transfers); the dtype branch resolves at trace time.
+    """
+    if images.dtype == jnp.uint8:
+        from yolo_tpu.data.transforms import device_normalize
+
+        return device_normalize(images).astype(dtype)
+    return images.astype(dtype)
+
+
 @struct.dataclass
 class TrainState:
     """Pure training state pytree (donated through the jitted step)."""
@@ -87,7 +100,7 @@ class Trainer:
             def loss_fn(params):
                 out, mutated = self.model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    images.astype(self.model.dtype),
+                    _prep_images(images, self.model.dtype),
                     train=True,
                     rngs={"dropout": dropout_rng},
                     mutable=["batch_stats"],
@@ -120,7 +133,7 @@ class Trainer:
         def eval_step(state: TrainState, images, targets):
             out = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                images.astype(self.model.dtype),
+                _prep_images(images, self.model.dtype),
                 train=False,
             )
             _, parts = yolo_loss(
