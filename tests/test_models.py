@@ -155,3 +155,27 @@ def test_quantized_int8_path_matches_fp():
     out_q = np.asarray(q.apply(variables, x, train=False))
     scale = np.abs(out_fp).max() + 1e-9
     assert np.abs(out_fp - out_q).max() / scale < 0.05
+
+
+def test_remat_backbone_identical_outputs_and_grads():
+    """Block-remat variant: same param tree, bit-identical forward and grads."""
+    m1 = YOLOv1(num_classes=3, S=2, B=2, backbone=ResNetBackbone())
+    m2 = YOLOv1(num_classes=3, S=2, B=2, backbone=ResNetBackbone(remat=True))
+    x = jnp.ones((1, 64, 64, 3)) * 0.1
+    v = m1.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = m2.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+    np.testing.assert_array_equal(
+        np.asarray(m1.apply(v, x, train=False)),
+        np.asarray(m2.apply(v, x, train=False)),
+    )
+
+    def grads(m):
+        f = lambda p: jnp.sum(  # noqa: E731
+            m.apply({"params": p, "batch_stats": v["batch_stats"]}, x,
+                    train=False) ** 2
+        )
+        return jax.grad(f)(v["params"])
+
+    for a, b in zip(jax.tree.leaves(grads(m1)), jax.tree.leaves(grads(m2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -19,7 +19,7 @@ import json
 import time
 
 
-def bench_step(batch: int) -> None:
+def bench_step(batch: int, remat: bool = False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -31,7 +31,8 @@ def bench_step(batch: int) -> None:
 
     dtype = jnp.bfloat16
     model = YOLOv1(
-        num_classes=20, S=7, B=2, backbone=ResNetBackbone(dtype=dtype), dtype=dtype
+        num_classes=20, S=7, B=2,
+        backbone=ResNetBackbone(dtype=dtype, remat=remat), dtype=dtype,
     )
     tx = make_optimizer(1e-4, 5e-4, milestones_steps=[10**9])
     trainer = Trainer(model, tx)
@@ -73,8 +74,9 @@ def bench_step(batch: int) -> None:
         )
     if total_us > 0:
         ms = total_us / 1e3 / iters
+        tag = ", remat" if remat else ""
         print(
-            f"train step (b{batch}, 448^2, bf16): {ms:.1f} ms device"
+            f"train step (b{batch}, 448^2, bf16{tag}): {ms:.1f} ms device"
             f" -> {batch / ms * 1e3:.0f} img/s/chip"
         )
     else:
@@ -115,8 +117,9 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--data-root", default="./data")
     p.add_argument("--num-workers", type=int, default=16)
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
-    bench_step(args.batch)
+    bench_step(args.batch, remat=args.remat)
     bench_pipeline(args.data_root, args.batch, args.num_workers)
 
 

@@ -129,6 +129,7 @@ class ResNetBackbone(Backbone):
     dtype: jnp.dtype = jnp.float32
     stage_sizes: tuple = (3, 4, 6, 3)
     quantized: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -137,11 +138,20 @@ class ResNetBackbone(Backbone):
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)
+        # Block-granular rematerialisation: each bottleneck's activations are
+        # recomputed in the backward pass instead of stored, trading ~30%
+        # extra FLOPs for the activation memory that otherwise OOMs HBM at
+        # large batch x 448^2 (b256 needs ~16.6G vs 15.75G available).
+        # static_argnums=(2,): ``train`` is a Python bool consumed in control
+        # flow (BatchNorm's use_running_average), not a traced value.
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        )
         planes = 64
         for stage, num_blocks in enumerate(self.stage_sizes):
             stride = 1 if stage == 0 else 2
             for block in range(num_blocks):
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if block == 0 else 1,
                     downsample=block == 0,
