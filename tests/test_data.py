@@ -214,3 +214,51 @@ def test_normalize_host_false_uint8_path(tmp_path):
     on_device = np.asarray(device_normalize(jnp.asarray(img_u8)))
     np.testing.assert_allclose(on_device, img_f32, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(normalize(img_u8), img_f32, rtol=1e-5, atol=1e-5)
+
+
+def test_loader_propagates_worker_errors():
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise RuntimeError("decode failed")
+            img = np.zeros((4, 4, 3), np.float32)
+            return img, np.zeros((7, 7, 30), np.float32)
+
+    loader = DataLoader(Broken(), batch_size=4, num_workers=2, drop_last=False)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for _ in loader:
+            pass
+
+
+def test_loader_shard_by_process_single_host():
+    class Ds:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return np.full((2, 2, 3), i, np.float32), np.zeros((1,), np.float32)
+
+    # Single process: sharding is a no-op and all samples appear exactly once.
+    loader = DataLoader(Ds(), batch_size=4, num_workers=0, shard_by_process=True)
+    seen = []
+    for images, _ in loader:
+        seen.extend(int(images[k, 0, 0, 0]) for k in range(images.shape[0]))
+    assert sorted(seen) == list(range(8))
+
+
+def test_metric_writer_jsonl(tmp_path):
+    from yolo_tpu.training.logging import MetricWriter
+
+    w = MetricWriter(tmp_path)
+    w.add_scalar("train/loss", 1.5, 3)
+    w.add_hparams({"lr": 1e-4}, {"best": 0.5})
+    w.close()
+    import json
+
+    lines = [json.loads(line) for line in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert {"tag": "train/loss", "value": 1.5, "step": 3} in lines
+    assert any("hparams_summary" in rec for rec in lines)

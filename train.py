@@ -150,6 +150,9 @@ def main(argv=None):
     )
     print_dataset_info(len(train_dataset), len(val_dataset), not args.no_augment)
 
+    # Multi-host (--remote): each process loads its disjoint slice of the
+    # identically-shuffled index stream; batch-size stays per-host.
+    shard = bool(args.remote) and jax.process_count() > 1
     train_loader = DataLoader(
         train_dataset,
         batch_size=args.batch_size,
@@ -157,6 +160,7 @@ def main(argv=None):
         num_workers=args.num_workers,
         drop_last=True,
         seed=args.seed,
+        shard_by_process=shard,
     )
     val_loader = DataLoader(
         val_dataset,
@@ -164,6 +168,7 @@ def main(argv=None):
         shuffle=False,
         num_workers=args.num_workers,
         drop_last=True,
+        shard_by_process=shard,
     )
 
     dtype = jnp.bfloat16 if args.use_amp else jnp.float32

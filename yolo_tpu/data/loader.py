@@ -30,6 +30,10 @@ class DataLoader:
             fixed shapes; the evaluator pads instead of dropping).
         prefetch: max batches resident in the queue.
         seed: base shuffle seed; epoch index is mixed in.
+        shard_by_process: multi-host mode — each jax process loads only its
+            1/process_count slice of the (identically shuffled) index stream,
+            so ``batch_size`` becomes the PER-HOST batch and the global batch
+            is batch_size * process_count. No-op single-process.
     """
 
     def __init__(
@@ -41,6 +45,7 @@ class DataLoader:
         drop_last: bool = True,
         prefetch: int = 4,
         seed: int = 0,
+        shard_by_process: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -49,6 +54,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.seed = seed
+        self.shard_by_process = shard_by_process
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -67,6 +73,12 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch * 10007)
             rng.shuffle(indices)
+        if self.shard_by_process:
+            import jax
+
+            # Identical shuffle everywhere (seeded), disjoint strided slices.
+            indices = indices[jax.process_index() :: jax.process_count()]
+            n = len(indices)
         batches = []
         step = self.batch_size
         limit = n - (n % step) if self.drop_last else n
