@@ -203,6 +203,9 @@ def main(argv=None):
                       lambda_noobj=args.lambda_noobj)
     state = trainer.create_state(jax.random.PRNGKey(args.seed),
                                  image_size=args.image_size)
+    from yolo_tpu.training.logging import count_params, print_model_info
+
+    print_model_info(*count_params(state.params, args.freeze_backbone))
     if args.freeze_backbone:
         tx = make_optimizer(
             args.lr, args.weight_decay, milestones_steps, args.lr_decay_factor,

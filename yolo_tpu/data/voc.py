@@ -267,15 +267,39 @@ class VOCDetectionYOLO:
             return image, target
         return image.astype(np.float32), target
 
-    def visualize_sample(self, idx: int) -> dict:
-        """Sample info for visualization (reference dataset.py:534-587)."""
+    def visualize_sample(self, idx: int, save_path: Optional[str] = None) -> dict:
+        """Sample info for visualization (reference dataset.py:534-587).
+
+        With ``save_path``, also renders the ground-truth boxes onto the
+        image (PIL) and writes it there.
+        """
         boxes, class_ids, _ = parse_voc_xml(self.annotations[idx])
-        return {
+        info = {
             "image_path": self.images[idx],
             "bboxes": boxes.tolist(),
             "class_ids": class_ids,
             "class_names": [self.class_names[c] for c in class_ids],
         }
+        if save_path is not None:
+            from PIL import Image
+
+            from yolo_tpu.schemas import BoundingBox, Detection
+            from yolo_tpu.utils.visualization import draw_detections
+
+            dets = [
+                Detection(
+                    class_id=int(c),
+                    class_name=self.class_names[int(c)],
+                    confidence=1.0,
+                    bbox=BoundingBox(x=float(b[0]), y=float(b[1]),
+                                     width=float(b[2]), height=float(b[3])),
+                )
+                for b, c in zip(boxes, class_ids)
+            ]
+            image = Image.open(self.images[idx]).convert("RGB")
+            draw_detections(image, dets, self.class_names).save(save_path)
+            info["saved_to"] = save_path
+        return info
 
 
 class CombinedVOCDataset:

@@ -225,3 +225,31 @@ class YOLOInference:
                 or self.iou(current.bbox, d.bbox) < threshold
             ]
         return keep
+
+
+if __name__ == "__main__":
+    # Demo mirroring the reference's __main__ (src/yolo/inference.py:321-358):
+    # load checkpoints/yolo_best.{ckpt,pth} and detect on a sample image.
+    import sys
+    from pathlib import Path
+
+    from yolo_tpu.data.voc import VOC_CLASSES
+    from yolo_tpu.models import create_model
+    from yolo_tpu.training.checkpoints import load_variables
+
+    checkpoint = next(
+        (p for p in (Path("checkpoints/yolo_best.ckpt"),
+                     Path("checkpoints/yolo_best.pth")) if p.exists()),
+        None,
+    )
+    if checkpoint is None:
+        sys.exit("No checkpoint found at checkpoints/yolo_best.{ckpt,pth}")
+    image_path = sys.argv[1] if len(sys.argv) > 1 else "notebooks/sample.jpg"
+
+    model = create_model("resnet", num_classes=20)
+    engine = YOLOInference(model, load_variables(checkpoint))
+    detections = engine.predict(image_path, conf_threshold=0.25,
+                                class_names=VOC_CLASSES)
+    print(f"Found {len(detections)} objects:")
+    for det in detections:
+        print(f"  {det.class_name}: {det.confidence:.2%} at {det.bbox}")

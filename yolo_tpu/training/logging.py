@@ -175,6 +175,27 @@ def print_checkpoint_saved(
         print(f"Saved checkpoint: {path}")
 
 
+def print_model_info(total_params: int, trainable_params: int) -> None:
+    """Model parameter summary (reference logging.py:84-96)."""
+    print("\nCreating model...")
+    print(f"Total parameters: {total_params:,}")
+    print(f"Trainable parameters: {trainable_params:,}")
+    print(f"Frozen parameters: {total_params - trainable_params:,}")
+
+
+def count_params(params, freeze_backbone: bool = False):
+    """(total, trainable) parameter counts for a params pytree."""
+    import jax
+
+    total = sum(x.size for x in jax.tree.leaves(params))
+    frozen = (
+        sum(x.size for x in jax.tree.leaves(params.get("backbone", {})))
+        if freeze_backbone
+        else 0
+    )
+    return total, total - frozen
+
+
 def print_dataset_info(
     train_size: int, val_size: int, augmented: bool
 ) -> None:
