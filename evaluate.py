@@ -120,7 +120,7 @@ def main(argv=None):
     ckpt_path = Path(args.checkpoint)
     if not ckpt_path.exists():
         raise SystemExit(f"Checkpoint not found: {ckpt_path}")
-    payload = load_checkpoint(ckpt_path)
+    payload = load_checkpoint(ckpt_path, backbone=args.backbone)
     variables = {
         "params": payload["model_state_dict"]["params"],
         "batch_stats": payload["model_state_dict"].get("batch_stats", {}),

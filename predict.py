@@ -38,7 +38,7 @@ def load_engine(args):
     if not Path(args.checkpoint).exists():
         raise SystemExit(f"Checkpoint not found: {args.checkpoint}")
     model = create_model(args.backbone, num_classes=args.num_classes)
-    variables = load_variables(args.checkpoint)
+    variables = load_variables(args.checkpoint, backbone=args.backbone)
     return YOLOInference(model, variables)
 
 

@@ -162,12 +162,15 @@ def main(argv=None):
         seed=args.seed,
         shard_by_process=shard,
     )
+    # drop_last=False: the reference evaluates every val image (its torch
+    # DataLoader keeps the ragged final batch); the one extra jit shape
+    # compiles once.
     val_loader = DataLoader(
         val_dataset,
         batch_size=args.batch_size,
         shuffle=False,
         num_workers=args.num_workers,
-        drop_last=True,
+        drop_last=False,
         shard_by_process=shard,
     )
 

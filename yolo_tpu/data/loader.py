@@ -57,8 +57,19 @@ class DataLoader:
         self.shard_by_process = shard_by_process
         self.epoch = 0
 
-    def __len__(self) -> int:
+    def _local_count(self) -> int:
+        """Samples this process iterates (equal across processes when sharded)."""
         n = len(self.dataset)
+        if not self.shard_by_process:
+            return n
+        import jax
+
+        # Floor division: every process gets the SAME count, so multi-host
+        # lockstep steps (cross-host collectives) stay synchronized.
+        return n // jax.process_count()
+
+    def __len__(self) -> int:
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -76,8 +87,11 @@ class DataLoader:
         if self.shard_by_process:
             import jax
 
-            # Identical shuffle everywhere (seeded), disjoint strided slices.
-            indices = indices[jax.process_index() :: jax.process_count()]
+            # Identical shuffle everywhere (seeded), disjoint strided slices,
+            # truncated to the common floor count so every process yields the
+            # same number of batches (collectives would hang otherwise).
+            count = self._local_count()
+            indices = indices[jax.process_index() :: jax.process_count()][:count]
             n = len(indices)
         batches = []
         step = self.batch_size

@@ -21,24 +21,26 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from yolo_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    eval_transform,
+)
 from yolo_tpu.ops.boxes import EPSILON
 from yolo_tpu.ops.decode import Detections, decode_predictions
 from yolo_tpu.ops.nms import batched_nms
 
-# ImageNet statistics (reference: src/yolo/inference.py:62-64).
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
-
 
 def preprocess_array(image: np.ndarray, size: int = 448) -> np.ndarray:
-    """HWC uint8/float RGB -> normalized float32 (size, size, 3)."""
-    if image.dtype != np.float32:
-        image = image.astype(np.float32) / 255.0
-    if image.shape[:2] != (size, size):
-        pil = Image.fromarray((image * 255).astype(np.uint8))
-        pil = pil.resize((size, size), Image.BILINEAR)
-        image = np.asarray(pil, np.float32) / 255.0
-    return (image - IMAGENET_MEAN) / IMAGENET_STD
+    """HWC uint8/float RGB -> normalized float32 (size, size, 3).
+
+    Single source of truth with the dataset path (data/transforms.py), so
+    predict.py and evaluate.py preprocess identically.
+    """
+    if image.dtype != np.uint8:
+        image = np.clip(image * 255.0 if image.max() <= 1.0 else image,
+                        0, 255).astype(np.uint8)
+    return eval_transform(image, (size, size))
 
 
 class YOLOInference:
@@ -96,9 +98,10 @@ class YOLOInference:
 
     def preprocess_image(self, image: Image.Image) -> jnp.ndarray:
         """PIL image -> (1, size, size, 3) normalized device array."""
-        resized = image.resize((self.image_size, self.image_size), Image.BILINEAR)
-        arr = np.asarray(resized, np.float32) / 255.0
-        arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+        arr = eval_transform(
+            np.asarray(image.convert("RGB")),
+            (self.image_size, self.image_size),
+        )
         return jnp.asarray(arr)[None]
 
     # ------------------------------------------------------------------ predict

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_tpu.ops.decode import decode_ground_truth, decode_predictions
-from yolo_tpu.ops.matching import match_detections
-from yolo_tpu.ops.nms import _nms_single
+from yolo_tpu.ops.matching import match_detections_masked
+from yolo_tpu.ops.nms import batched_nms
 
 EPSILON = 1e-6
 
@@ -41,7 +41,10 @@ MEDIUM_AREA = (96 / 448) ** 2
 _SIZE_NAMES = ("small", "medium", "large")
 
 
-@partial(jax.jit, static_argnames=("S", "B", "C"))
+@partial(
+    jax.jit,
+    static_argnames=("S", "B", "C", "conf_threshold", "nms_threshold"),
+)
 def _process_batch(
     predictions: jnp.ndarray,
     targets: jnp.ndarray,
@@ -59,9 +62,7 @@ def _process_batch(
       scores/class/valid (sorted), gt area-bucket counts, gt_valid count.
     """
     preds = decode_predictions(predictions, S, B, C, conf_threshold)
-    keep = jax.vmap(_nms_single, in_axes=(0, 0, 0, 0, None))(
-        preds.boxes, preds.scores, preds.class_ids, preds.valid, nms_threshold
-    )
+    keep = batched_nms(preds, nms_threshold).valid
     gts = decode_ground_truth(targets, S, B, C)
 
     area = gts.boxes[..., 2] * gts.boxes[..., 3]
@@ -69,28 +70,25 @@ def _process_batch(
     medium = gts.valid & (area >= SMALL_AREA) & (area < MEDIUM_AREA)
     large = gts.valid & (area >= MEDIUM_AREA)
 
+    # One masked matching pass: the score sort and IoU matrix are shared
+    # across all four GT size filters (match_detections_masked).
+    masks = jnp.stack([gts.valid, small, medium, large])  # (4, N, G)
+    tp, scores_s, class_s, valid_s = match_detections_masked(
+        preds.boxes,
+        preds.scores,
+        preds.class_ids,
+        keep,
+        gts.boxes,
+        gts.class_ids,
+        masks,
+        thresholds,
+    )
     results = {}
-    for name, gt_valid in (
-        ("all", gts.valid),
-        ("small", small),
-        ("medium", medium),
-        ("large", large),
-    ):
-        tp, scores_s, class_s, valid_s = match_detections(
-            preds.boxes,
-            preds.scores,
-            preds.class_ids,
-            keep,
-            gts.boxes,
-            gts.class_ids,
-            gt_valid,
-            thresholds,
-        )
-        results[f"tp_{name}"] = tp
-        if name == "all":
-            results["scores"] = scores_s
-            results["class_ids"] = class_s
-            results["pred_valid"] = valid_s
+    for m, name in enumerate(("all", "small", "medium", "large")):
+        results[f"tp_{name}"] = tp[:, m]
+    results["scores"] = scores_s
+    results["class_ids"] = class_s
+    results["pred_valid"] = valid_s
     results["gt_class_all"] = gts.class_ids
     results["gt_valid_all"] = gts.valid
     results["gt_valid_small"] = small

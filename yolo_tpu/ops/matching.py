@@ -50,34 +50,76 @@ def _match_single_threshold(
 
 
 @partial(jax.jit, static_argnames=())
-def match_detections(
+def match_detections_masked(
     pred_boxes: jnp.ndarray,  # (N, K, 4)
     pred_scores: jnp.ndarray,  # (N, K)
     pred_class: jnp.ndarray,  # (N, K)
     pred_valid: jnp.ndarray,  # (N, K) post-NMS keep mask
     gt_boxes: jnp.ndarray,  # (N, G, 4)
     gt_class: jnp.ndarray,  # (N, G)
-    gt_valid: jnp.ndarray,  # (N, G) possibly size-filtered
+    gt_valid_masks: jnp.ndarray,  # (M, N, G) GT-filter variants (e.g. sizes)
     thresholds: jnp.ndarray,  # (T,)
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Batched greedy matching.
+    """Batched greedy matching over M GT-validity masks at once.
 
-    Returns (tp, scores_sorted, class_sorted, valid_sorted), each (N, T, K) /
-    (N, K): TP flags per threshold for every prediction in score-sorted order,
-    plus the sorted scores/classes/validity to aggregate AP on the host.
+    The score sort and the (K, G) IoU matrix depend only on the predictions
+    and GT boxes, so they are computed ONCE per image and reused across all
+    M masks x T thresholds (the evaluator runs M=4 size filters — computing
+    them per filter would quadruple this stage).
+
+    Returns (tp, scores_sorted, class_sorted, valid_sorted) with shapes
+    (N, M, T, K) / (N, K): TP flags for every prediction in score-sorted
+    order, plus the sorted scores/classes/validity for host-side AP.
     """
 
-    def per_image(pb, ps, pc, pv, gb, gc, gv):
+    def per_image(pb, ps, pc, pv, gb, gc, gvm):
         order = jnp.argsort(-jnp.where(pv, ps, -jnp.inf), stable=True)
         pb_s, ps_s, pc_s, pv_s = pb[order], ps[order], pc[order], pv[order]
         iou = iou_pairwise(pb_s, gb)  # (K, G)
         class_ok = pc_s[:, None] == gc[None, :]
-        iou_masked = jnp.where(class_ok & gv[None, :], iou, 0.0)
-        tp = jax.vmap(lambda t: _match_single_threshold(iou_masked, pv_s, t))(
-            thresholds
-        )  # (T, K)
+
+        def for_mask(gv):
+            iou_masked = jnp.where(class_ok & gv[None, :], iou, 0.0)
+            return jax.vmap(
+                lambda t: _match_single_threshold(iou_masked, pv_s, t)
+            )(thresholds)  # (T, K)
+
+        tp = jax.vmap(for_mask)(gvm)  # (M, T, K)
         return tp, ps_s, pc_s, pv_s
 
-    return jax.vmap(per_image)(
-        pred_boxes, pred_scores, pred_class, pred_valid, gt_boxes, gt_class, gt_valid
+    return jax.vmap(per_image, in_axes=(0, 0, 0, 0, 0, 0, 1))(
+        pred_boxes,
+        pred_scores,
+        pred_class,
+        pred_valid,
+        gt_boxes,
+        gt_class,
+        gt_valid_masks,
     )
+
+
+def match_detections(
+    pred_boxes: jnp.ndarray,
+    pred_scores: jnp.ndarray,
+    pred_class: jnp.ndarray,
+    pred_valid: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_class: jnp.ndarray,
+    gt_valid: jnp.ndarray,  # (N, G)
+    thresholds: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-mask wrapper over :func:`match_detections_masked`.
+
+    Returns (tp (N, T, K), scores_sorted, class_sorted, valid_sorted).
+    """
+    tp, ps, pc, pv = match_detections_masked(
+        pred_boxes,
+        pred_scores,
+        pred_class,
+        pred_valid,
+        gt_boxes,
+        gt_class,
+        gt_valid[None],
+        thresholds,
+    )
+    return tp[:, 0], ps, pc, pv

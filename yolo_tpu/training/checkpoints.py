@@ -116,20 +116,28 @@ def save_best_map_model(
     print_checkpoint_saved(checkpoint_path, "mAP@0.5:0.95", map_value)
 
 
-def load_checkpoint(checkpoint_path: str | Path) -> Dict[str, Any]:
-    """Load a .ckpt payload (or import a reference .pth via the converter)."""
+def load_checkpoint(
+    checkpoint_path: str | Path, backbone: str = "resnet"
+) -> Dict[str, Any]:
+    """Load a .ckpt payload (or import a reference .pth via the converter).
+
+    ``backbone`` selects the reference layout for .pth imports ('resnet' or
+    'yolov1' — their state-dict key schemas differ); ignored for .ckpt.
+    """
     path = Path(checkpoint_path)
     if path.suffix == ".pth":
         from yolo_tpu.convert import load_pth_checkpoint
 
-        return load_pth_checkpoint(path)
+        return load_pth_checkpoint(path, backbone=backbone)
     with open(path, "rb") as f:
         return pickle.load(f)
 
 
-def load_variables(checkpoint_path: str | Path) -> Dict[str, Any]:
+def load_variables(
+    checkpoint_path: str | Path, backbone: str = "resnet"
+) -> Dict[str, Any]:
     """Load just the model variables {'params', 'batch_stats'} for inference."""
-    payload = load_checkpoint(checkpoint_path)
+    payload = load_checkpoint(checkpoint_path, backbone=backbone)
     msd = payload["model_state_dict"]
     return {"params": msd["params"], "batch_stats": msd.get("batch_stats", {})}
 

@@ -182,11 +182,27 @@ class Trainer:
         return jax.device_put(state, state_shardings(self.mesh, state))
 
     def put_batch(self, images, targets):
-        """Transfer one host batch, sharded across the 'data' axis if meshed."""
+        """Transfer one host batch, sharded across the 'data' axis if meshed.
+
+        Multi-host: each process holds a DISJOINT per-host batch (the sharded
+        loader slice), so the global array must be assembled from the
+        process-local shards — ``device_put`` would instead interpret every
+        host's local batch as the same global array and silently drop
+        (P-1)/P of the data.
+        """
         if self.mesh is None:
             return jnp.asarray(images), jnp.asarray(targets)
         from yolo_tpu.parallel import batch_sharding
 
+        if jax.process_count() > 1:
+            return (
+                jax.make_array_from_process_local_data(
+                    batch_sharding(self.mesh, images.ndim), images
+                ),
+                jax.make_array_from_process_local_data(
+                    batch_sharding(self.mesh, targets.ndim), targets
+                ),
+            )
         return (
             jax.device_put(images, batch_sharding(self.mesh, images.ndim)),
             jax.device_put(targets, batch_sharding(self.mesh, targets.ndim)),
