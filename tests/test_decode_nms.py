@@ -156,3 +156,20 @@ def test_pallas_nms_matches_xla_nms():
         ref = batched_nms(dets, 0.4)
         ours = pallas_nms(dets, 0.4, interpret=True)
         assert bool(jnp.all(ref.valid == ours.valid))
+
+
+def test_pallas_nms_large_grid_multi_lane_padding():
+    """S=9, B=2 -> K=162 > 128 lanes: exercises the L=256 padded-lane path."""
+    import numpy as np
+
+    from yolo_tpu.ops.decode import decode_predictions
+    from yolo_tpu.ops.nms import batched_nms
+    from yolo_tpu.ops.pallas_nms import pallas_nms
+
+    rng = np.random.default_rng(11)
+    pred = rng.uniform(0, 1, size=(3, 9, 9, 2 * 5 + 20)).astype(np.float32)
+    dets = decode_predictions(jnp.asarray(pred), 9, 2, 20, 0.3)
+    assert dets.scores.shape[-1] == 162
+    ref = batched_nms(dets, 0.4)
+    ours = pallas_nms(dets, 0.4, interpret=True)
+    assert bool(jnp.all(ref.valid == ours.valid))
