@@ -209,6 +209,37 @@ def check_map(ref_src: Path, trials: int = 3) -> bool:
     return ok
 
 
+def check_target_encoding(ref_src: Path, trials: int = 200) -> bool:
+    """Target-encoder parity: random normalized boxes through the reference's
+    VOCDetectionYOLO._encode_target (dataset.py:487-532) vs our encode_target,
+    including cell collisions ('first wins') and boundary clamping."""
+    sys.path.insert(0, str(ref_src))
+    _stub_torchvision()
+    from yolo.dataset import VOCDetectionYOLO as RefDS
+
+    from yolo_tpu.data.voc import encode_target
+
+    ref_self = RefDS.__new__(RefDS)  # no dataset IO needed for the encoder
+    ref_self.S, ref_self.B, ref_self.C = 7, 2, 20
+
+    rng = np.random.default_rng(3)
+    worst = 0.0
+    for _ in range(trials):
+        n = int(rng.integers(0, 8))
+        boxes = rng.uniform(0, 1, size=(n, 4)).astype(np.float32)
+        boxes[:, 2:] = rng.uniform(0.01, 0.6, size=(n, 2))
+        class_ids = rng.integers(0, 20, size=n).tolist()
+        ref_t = RefDS._encode_target(
+            ref_self, [list(map(float, b)) for b in boxes], class_ids
+        ).numpy()
+        ours = encode_target(boxes, class_ids, 7, 2, 20)
+        worst = max(worst, float(np.abs(ref_t - ours).max()))
+    ok = worst < 1e-6
+    print(f"  target encoding: {trials} trials, worst |Δ|={worst:.2e}"
+          f" {'OK' if ok else 'FAIL'}")
+    return ok
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--reference", default="/root/reference")
@@ -229,6 +260,8 @@ def main():
     ok &= check_decode_nms(ref_src)
     print("mAP evaluator parity:")
     ok &= check_map(ref_src)
+    print("Target encoding parity:")
+    ok &= check_target_encoding(ref_src)
     print("PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 
