@@ -1,0 +1,38 @@
+"""Numerical parity vs the reference implementation (when mounted).
+
+Runs the tools/parity_check.py families in-process: loss values + input
+gradients, decode+NMS detection sets, the full mAP evaluator key set, and
+target encoding — each against the reference code executed directly from
+/root/reference. Skipped when the reference or torch is unavailable.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REF_SRC = Path("/root/reference/src")
+
+pytestmark = pytest.mark.skipif(
+    not REF_SRC.exists(), reason="reference repo not mounted"
+)
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+from tools import parity_check  # noqa: E402
+
+
+def test_loss_and_gradient_parity():
+    assert parity_check.check_loss(REF_SRC, trials=3)
+
+
+def test_decode_nms_parity():
+    assert parity_check.check_decode_nms(REF_SRC, trials=3)
+
+
+def test_map_evaluator_parity():
+    assert parity_check.check_map(REF_SRC, trials=2)
+
+
+def test_target_encoding_parity():
+    assert parity_check.check_target_encoding(REF_SRC, trials=100)

@@ -92,7 +92,7 @@ def check_loss(ref_src: Path, trials: int = 5) -> bool:
                 has_aux=True,
             )(jnp.asarray(pred))
 
-        dv = abs(float(total) - float(ref_total))
+        dv = abs(float(total) - float(ref_total.detach()))
         dg = np.abs(np.asarray(grad) - ref_grad).max()
         status = "OK " if dv < 1e-4 and dg < 1e-4 else "FAIL"
         ok &= status == "OK "
