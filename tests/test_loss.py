@@ -136,3 +136,45 @@ def test_yolo_loss_class_wrapper():
     total, parts = criterion(pred, target)
     assert set(parts) == {"total", "coord", "conf_obj", "conf_noobj", "class"}
     np.testing.assert_allclose(float(total), float(parts["total"]), rtol=1e-6)
+
+
+def test_sample_mask_excludes_padding():
+    # Masked loss over a zero-padded batch == loss over the real prefix.
+    rng = np.random.default_rng(3)
+    n, full = 3, 8
+    pred_real = rng.normal(size=(n, S, S, D)).astype(np.float32)
+    target_real = np.zeros((n, S, S, D), np.float32)
+    target_real[:, 0, 1, 0:5] = [0.4, 0.6, 0.2, 0.3, 1.0]
+    target_real[:, 0, 1, B * 5 + 2] = 1.0
+
+    pad = full - n
+    pred_pad = np.concatenate(
+        [pred_real, rng.normal(size=(pad, S, S, D)).astype(np.float32)]
+    )
+    target_pad = np.concatenate([target_real, np.zeros((pad, S, S, D), np.float32)])
+    mask = jnp.asarray(np.arange(full) < n)
+
+    total_ref, parts_ref = yolo_loss(
+        jnp.asarray(pred_real), jnp.asarray(target_real), S=S, B=B, C=C
+    )
+    total_m, parts_m = yolo_loss(
+        jnp.asarray(pred_pad), jnp.asarray(target_pad), S=S, B=B, C=C,
+        sample_mask=mask,
+    )
+    np.testing.assert_allclose(float(total_m), float(total_ref), rtol=1e-6)
+    for k in parts_ref:
+        np.testing.assert_allclose(
+            float(parts_m[k]), float(parts_ref[k]), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_sample_mask_none_is_identity():
+    rng = np.random.default_rng(4)
+    pred = jnp.asarray(rng.normal(size=(2, S, S, D)).astype(np.float32))
+    target = np.zeros((2, S, S, D), np.float32)
+    target[:, 1, 0, 0:5] = [0.5, 0.5, 0.3, 0.3, 1.0]
+    target[:, 1, 0, B * 5] = 1.0
+    target = jnp.asarray(target)
+    t0, _ = yolo_loss(pred, target, S=S, B=B, C=C)
+    t1, _ = yolo_loss(pred, target, S=S, B=B, C=C, sample_mask=jnp.ones(2, bool))
+    np.testing.assert_allclose(float(t0), float(t1), rtol=1e-7)

@@ -170,3 +170,55 @@ def test_multi_batch_accumulation():
     # (11-point: recall 1.0 reached at precision 1.0).
     assert results["AP50_class_0"] == pytest.approx(1.0, abs=1e-6)
     assert results["precision"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_evaluate_model_mesh_matches_single_device():
+    # Mesh-sharded evaluation (forward + decode/NMS/match over the 'data'
+    # axis, ragged final batch padded+masked) must reproduce the
+    # single-device mAP exactly.
+    import jax
+
+    from yolo_tpu.metrics import evaluate_model
+    from yolo_tpu.models import Backbone, SimpleHead, YOLOv1
+    from yolo_tpu.parallel import make_mesh
+    from flax import linen as nn
+
+    class Cheap(Backbone):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.avg_pool(x, (4, 4), strides=(4, 4))
+            return nn.Conv(8, (3, 3), padding=1)(x)
+
+    model = YOLOv1(num_classes=C, S=S, B=B, backbone=Cheap(),
+                   detection_head=SimpleHead(num_classes=C, S=S, B=B))
+    rng = np.random.default_rng(0)
+    variables = jax.jit(
+        lambda r: model.init({"params": r}, np.zeros((1, 56, 56, 3), np.float32),
+                             train=False)
+    )(jax.random.PRNGKey(0))
+
+    images = rng.normal(size=(13, 56, 56, 3)).astype(np.float32)
+    targets = np.zeros((13, S, S, D), np.float32)
+    targets[:, 3, 3, 0:5] = [0.5, 0.5, 0.3, 0.3, 1.0]
+    targets[:, 3, 3, B * 5 + 1] = 1.0
+
+    class FakeLoader:
+        def __init__(self, batches, batch_size):
+            self.batches, self.batch_size = batches, batch_size
+
+        def __iter__(self):
+            return iter(self.batches)
+
+    loader = FakeLoader(
+        [(images[:8], targets[:8]), (images[8:], targets[8:])], batch_size=8
+    )
+
+    single = evaluate_model(model, variables, loader, num_classes=C,
+                            S=S, B=B, verbose=False)
+    mesh = make_mesh(n_data=4, n_model=2)
+    meshed = evaluate_model(model, variables, loader, num_classes=C,
+                            S=S, B=B, verbose=False, mesh=mesh)
+    assert single.keys() == meshed.keys()
+    for k in single:
+        np.testing.assert_allclose(meshed[k], single[k], rtol=1e-5, atol=1e-7,
+                                   err_msg=k)

@@ -36,3 +36,9 @@ def test_map_evaluator_parity():
 
 def test_target_encoding_parity():
     assert parity_check.check_target_encoding(REF_SRC, trials=100)
+
+
+def test_model_forward_parity():
+    # Converted reference weights produce identical forwards: yolov1 config,
+    # DetectionHead, resnet50 trunk, and the full flagship .pth layout.
+    assert parity_check.check_model_forward(REF_SRC)

@@ -196,3 +196,86 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     ):
         np.testing.assert_array_equal(a, b)
     assert int(jax.device_get(restored.step)) == int(jax.device_get(state.step))
+
+
+class FakeLoader:
+    """Minimal loader stand-in: a list of batches with a batch_size attr."""
+
+    def __init__(self, batches, batch_size):
+        self.batches = batches
+        self.batch_size = batch_size
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def test_validate_ragged_final_batch_on_mesh():
+    # drop_last=False loaders end in a ragged batch; on a mesh this must be
+    # padded to the batch size (sharding needs divisibility) and masked out of
+    # the loss — the per-sample mean must match the unpadded single-device run.
+    model = tiny_model()
+    tx = make_optimizer(1e-4, 0.0, milestones_steps=[])
+    images, targets = tiny_batch(13)  # 8 full + ragged 5 on an 8-batch loader
+    batches = [(images[:8], targets[:8]), (images[8:], targets[8:])]
+    loader = FakeLoader(batches, batch_size=8)
+
+    solo = Trainer(model, tx)
+    state1 = solo.create_state(jax.random.PRNGKey(0), image_size=56)
+    ref = solo.validate(state1, loader)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    dp = Trainer(model, tx, mesh=mesh)
+    state2 = dp.create_state(jax.random.PRNGKey(0), image_size=56)
+    got = dp.validate(state2, loader)
+
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-4, atol=1e-6)
+
+
+def test_restore_opt_state_freeze_mismatch_raises():
+    from yolo_tpu.training.checkpoints import restore_opt_state
+
+    model = tiny_model()
+    tx_plain = make_optimizer(1e-3, 0.0, milestones_steps=[])
+    trainer = Trainer(model, tx_plain)
+    state = trainer.create_state(jax.random.PRNGKey(0), image_size=56)
+    tx_frozen = make_optimizer(
+        1e-3, 0.0, milestones_steps=[], freeze_backbone=True, params=state.params
+    )
+    opt_plain = tx_plain.init(state.params)
+    opt_frozen = tx_frozen.init(state.params)
+
+    # Save-unfrozen -> resume-frozen and the reverse both fail loudly.
+    with pytest.raises(ValueError, match="freeze-backbone"):
+        restore_opt_state(opt_frozen, jax.device_get(opt_plain))
+    with pytest.raises(ValueError, match="freeze-backbone"):
+        restore_opt_state(opt_plain, jax.device_get(opt_frozen))
+
+    # Matching structures round-trip exactly.
+    restored = restore_opt_state(opt_plain, jax.device_get(opt_plain))
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(opt_plain)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_metrics_persist_best_tracking(tmp_path):
+    from yolo_tpu.training import train
+    from yolo_tpu.training.checkpoints import restore_checkpoint_orbax
+
+    model = tiny_model()
+    tx = make_optimizer(1e-3, 0.0, milestones_steps=[])
+    trainer = Trainer(model, tx)
+    state = trainer.create_state(jax.random.PRNGKey(0), image_size=56)
+    images, targets = tiny_batch(4)
+    loader = [(images, targets)] * 2
+    train(
+        trainer, state, loader, loader, num_epochs=1,
+        checkpoint_dir=tmp_path, save_frequency=5, use_orbax=True,
+    )
+    fresh = trainer.create_state(jax.random.PRNGKey(1), image_size=56)
+    _, step, metrics = restore_checkpoint_orbax(tmp_path, fresh)
+    assert step == 1
+    assert "best_val_loss" in metrics and "best_map" in metrics
+    assert metrics["best_val_loss"] == metrics["val_loss"]

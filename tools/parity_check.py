@@ -240,6 +240,196 @@ def check_target_encoding(ref_src: Path, trials: int = 200) -> bool:
     return ok
 
 
+def _build_torch_resnet50(torch):
+    """Minimal torch reimplementation of the torchvision resnet50 graph.
+
+    torchvision is not installed in this environment, so the oracle for the
+    converted-weights path is rebuilt here with EXACTLY torchvision's module
+    names ('conv1', 'bn1', 'layer{1..4}.{i}.conv{1..3}/bn{1..3}/downsample.0/1')
+    and forward semantics (v1.5 bottleneck: stride on the 3x3 conv) — the
+    architecture the reference wraps (/root/reference/src/yolo/models.py:131-176).
+    """
+    nn = torch.nn
+
+    class Bottleneck(nn.Module):
+        def __init__(self, inplanes, planes, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(planes)
+            self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                                   bias=False)
+            self.bn2 = nn.BatchNorm2d(planes)
+            self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(planes * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class ResNet50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            inplanes = 64
+            for i, (planes, blocks, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)], start=1
+            ):
+                downsample = nn.Sequential(
+                    nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                    nn.BatchNorm2d(planes * 4),
+                )
+                layers = [Bottleneck(inplanes, planes, stride, downsample)]
+                inplanes = planes * 4
+                layers += [Bottleneck(inplanes, planes) for _ in range(1, blocks)]
+                setattr(self, f"layer{i}", nn.Sequential(*layers))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for i in range(1, 5):
+                x = getattr(self, f"layer{i}")(x)
+            return x
+
+    return ResNet50()
+
+
+def _randomize_bn_buffers(torch, module, rng):
+    """Give BN running stats non-trivial values so eval-mode BN is exercised."""
+    for name, buf in module.named_buffers():
+        if name.endswith("running_mean"):
+            buf.copy_(torch.tensor(
+                rng.normal(0, 0.5, buf.shape).astype(np.float32)))
+        elif name.endswith("running_var"):
+            buf.copy_(torch.tensor(
+                rng.uniform(0.5, 2.0, buf.shape).astype(np.float32)))
+
+
+def _max_diff(a, b):
+    return float(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max())
+
+
+def check_model_forward(ref_src: Path) -> bool:
+    """Full-model forward parity: reference torch modules with random weights,
+    state dicts converted via yolo_tpu.convert, forwards diffed in eval mode.
+
+    Covers the whole converted-checkpoint path end-to-end (SURVEY §7 hard-part
+    #1): conv padding arithmetic, BN eval semantics, LeakyReLU, maxpool
+    padding, and the NHWC-flatten FC re-indexing.
+    """
+    import torch
+
+    sys.path.insert(0, str(ref_src))
+    _stub_torchvision()
+    from yolo.models import DetectionHead as RefHead
+    from yolo.models import YOLOv1 as RefYOLO
+    from yolo.models import YOLOv1Backbone as RefYOLOBackbone
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.convert import (
+        convert_reference_state_dict,
+        convert_torchvision_resnet50,
+    )
+    from yolo_tpu.models import ResNetBackbone, YOLOv1, YOLOv1Backbone, create_model
+
+    rng = np.random.default_rng(7)
+    ok = True
+    torch.manual_seed(0)
+
+    with jax.default_matmul_precision("highest"), torch.no_grad():
+        # 1. YOLOv1Backbone + SimpleHead full model (pure-torch reference cfg).
+        ref_model = RefYOLO(backbone=RefYOLOBackbone()).eval()
+        x = rng.normal(0, 1, (2, 3, 448, 448)).astype(np.float32)
+        ref_out = ref_model(torch.tensor(x)).numpy()
+        variables = convert_reference_state_dict(
+            ref_model.state_dict(), backbone="yolov1"
+        )
+        ours = YOLOv1(num_classes=20, backbone=YOLOv1Backbone())
+        our_out = jax.jit(
+            lambda v, im: ours.apply(v, im, train=False)
+        )(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        d = _max_diff(ref_out, our_out)
+        status = "OK " if d < 1e-3 else "FAIL"
+        ok &= status == "OK "
+        print(f"  model fwd [yolov1 backbone + simple head]: |Δ|max={d:.2e} {status}")
+
+        # 2. DetectionHead alone on ResNet-shaped features.
+        ref_head = RefHead(2048).eval()
+        feats = rng.normal(0, 1, (2, 2048, 14, 14)).astype(np.float32)
+        ref_out = ref_head(torch.tensor(feats)).numpy()
+        head_sd = {f"head.{k}": v for k, v in ref_head.state_dict().items()}
+        variables = convert_reference_state_dict(head_sd, backbone="resnet")
+        from yolo_tpu.models.heads import DetectionHead
+
+        our_head = DetectionHead(num_classes=20, S=7, B=2)
+        our_out = jax.jit(
+            lambda p, f: our_head.apply({"params": p}, f, train=False)
+        )(variables["params"]["detection_head"],
+          jnp.asarray(np.transpose(feats, (0, 2, 3, 1))))
+        d = _max_diff(ref_out, our_out)
+        status = "OK " if d < 1e-3 else "FAIL"
+        ok &= status == "OK "
+        print(f"  model fwd [detection head 2048-in]: |Δ|max={d:.2e} {status}")
+
+        # 3. ResNet50 trunk (torchvision-layout oracle, randomized BN stats).
+        torch_resnet = _build_torch_resnet50(torch).eval()
+        _randomize_bn_buffers(torch, torch_resnet, rng)
+        x = rng.normal(0, 1, (1, 3, 448, 448)).astype(np.float32)
+        ref_out = torch_resnet(torch.tensor(x)).numpy()
+        converted = convert_torchvision_resnet50(torch_resnet.state_dict())
+        our_bb = ResNetBackbone()
+        our_out = jax.jit(
+            lambda v, im: our_bb.apply(v, im, train=False)
+        )(converted, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        d = _max_diff(ref_out, np.transpose(np.asarray(our_out), (0, 3, 1, 2)))
+        status = "OK " if d < 1e-3 else "FAIL"
+        ok &= status == "OK "
+        print(f"  model fwd [resnet50 trunk, converted weights]: |Δ|max={d:.2e} {status}")
+
+        # 4. Full flagship: resnet trunk + reference DetectionHead, converted
+        #    as one reference-layout state dict (the yolo_best.pth path).
+        class RefStyleFlagship(torch.nn.Module):
+            """backbone.extractor.{0,1,4..7} + head.* — the exact key layout
+            of the reference's trained checkpoints (models.py:162, 313-332)."""
+
+            def __init__(self, resnet, head):
+                super().__init__()
+                self.backbone = torch.nn.Module()
+                self.backbone.extractor = torch.nn.Sequential(
+                    resnet.conv1, resnet.bn1, resnet.relu, resnet.maxpool,
+                    resnet.layer1, resnet.layer2, resnet.layer3, resnet.layer4,
+                )
+                self.head = head
+
+            def forward(self, x):
+                return self.head(self.backbone.extractor(x))
+
+        flagship = RefStyleFlagship(torch_resnet, RefHead(2048)).eval()
+        ref_out = flagship(torch.tensor(x)).numpy()
+        variables = convert_reference_state_dict(
+            flagship.state_dict(), backbone="resnet"
+        )
+        our_model = create_model("resnet", num_classes=20)
+        our_out = jax.jit(
+            lambda v, im: our_model.apply(v, im, train=False)
+        )(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        d = _max_diff(ref_out, our_out)
+        status = "OK " if d < 1e-3 else "FAIL"
+        ok &= status == "OK "
+        print(f"  model fwd [flagship resnet50+head, .pth layout]: |Δ|max={d:.2e} {status}")
+    return ok
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--reference", default="/root/reference")
@@ -262,6 +452,8 @@ def main():
     ok &= check_map(ref_src)
     print("Target encoding parity:")
     ok &= check_target_encoding(ref_src)
+    print("Model forward parity (converted weights):")
+    ok &= check_model_forward(ref_src)
     print("PARITY:", "PASS" if ok else "FAIL")
     return 0 if ok else 1
 

@@ -244,7 +244,8 @@ def main(argv=None):
 
         state, step, metrics = restore_checkpoint_orbax(checkpoint_dir, state)
         start_epoch = step + 1
-        best_val_loss = metrics.get("val_loss")
+        best_val_loss = metrics.get("best_val_loss", metrics.get("val_loss"))
+        best_map = metrics.get("best_map") or None
         print(f"\nResumed from orbax step {step}, starting at {start_epoch}")
         resume_path = None
     else:
@@ -258,10 +259,14 @@ def main(argv=None):
                 batch_stats=ckpt["model_state_dict"]["batch_stats"],
             )
             if ckpt.get("optimizer_state_dict") is not None:
-                opt_state = jax.tree.unflatten(
-                    jax.tree.structure(state.opt_state),
-                    jax.tree.leaves(ckpt["optimizer_state_dict"]),
-                )
+                from yolo_tpu.training.checkpoints import restore_opt_state
+
+                try:
+                    opt_state = restore_opt_state(
+                        state.opt_state, ckpt["optimizer_state_dict"]
+                    )
+                except ValueError as exc:
+                    raise SystemExit(f"Cannot resume from {resume_path}: {exc}")
                 state = state.replace(opt_state=opt_state)
             if "scheduler_state_dict" in ckpt:
                 state = state.replace(

@@ -18,6 +18,27 @@ from typing import Iterator, Optional, Tuple
 import numpy as np
 
 
+def pad_batch(images: np.ndarray, targets: np.ndarray, batch_size: int):
+    """Zero-pad a ragged final batch up to ``batch_size``.
+
+    Fixed shapes are load-bearing under jit AND required by mesh batch
+    sharding (the batch dim must divide by the 'data' axis size). Returns
+    (images, targets, n_valid) where n_valid is the real sample count;
+    consumers mask out the padding (loss: sample_mask, mAP: n_valid slice).
+    """
+    n = images.shape[0]
+    if n >= batch_size:
+        return images, targets, n
+    pad = batch_size - n
+    images = np.concatenate(
+        [np.asarray(images), np.zeros((pad, *images.shape[1:]), images.dtype)]
+    )
+    targets = np.concatenate(
+        [np.asarray(targets), np.zeros((pad, *targets.shape[1:]), targets.dtype)]
+    )
+    return images, targets, n
+
+
 class DataLoader:
     """Iterate (images, targets) numpy batches from a map-style dataset.
 

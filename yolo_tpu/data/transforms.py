@@ -45,15 +45,20 @@ _NORM_SCALE = (1.0 / (255.0 * IMAGENET_STD)).astype(np.float32)
 _NORM_BIAS = (-IMAGENET_MEAN / IMAGENET_STD).astype(np.float32)
 
 
-def resize_bilinear(image: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+def resize_bilinear(
+    image: np.ndarray, size: Tuple[int, int], exact: bool = True
+) -> np.ndarray:
     """Resize HWC uint8 to (h, w), antialiased on downscale.
 
-    cv2 INTER_AREA (downscale) / INTER_LINEAR (upscale) approximates
-    torchvision's antialiased bilinear at ~8x the speed of PIL; PIL remains
-    the fallback when cv2 is unavailable.
+    ``exact=True`` (the eval/inference default) uses PIL's antialiased
+    bilinear — the filter torchvision's ``v2.Resize(antialias=True)``
+    implements, so eval preprocessing matches the reference pipeline
+    (dataset.py:226). ``exact=False`` uses cv2 INTER_AREA/INTER_LINEAR:
+    ~8x faster, only approximately antialiased — fine for the stochastic
+    train-augmentation path, a measurable numerics delta for eval.
     """
     h, w = size
-    if _HAS_CV2:
+    if _HAS_CV2 and not exact:
         shrinking = w < image.shape[1] or h < image.shape[0]
         interp = cv2.INTER_AREA if shrinking else cv2.INTER_LINEAR
         return cv2.resize(image, (w, h), interpolation=interp)

@@ -31,15 +31,27 @@ from yolo_tpu.ops.decode import Detections, decode_predictions
 from yolo_tpu.ops.nms import batched_nms
 
 
-def preprocess_array(image: np.ndarray, size: int = 448) -> np.ndarray:
+def preprocess_array(
+    image: np.ndarray, size: int = 448, value_range: str = "auto"
+) -> np.ndarray:
     """HWC uint8/float RGB -> normalized float32 (size, size, 3).
 
     Single source of truth with the dataset path (data/transforms.py), so
     predict.py and evaluate.py preprocess identically.
+
+    ``value_range`` declares float inputs' scale: "unit" ([0, 1]), "255"
+    ([0, 255]), or "auto" (max<=1.0 heuristic — ambiguous for dark 0-255
+    images; pass an explicit range when known). Conversion rounds to nearest
+    rather than truncating.
     """
     if image.dtype != np.uint8:
-        image = np.clip(image * 255.0 if image.max() <= 1.0 else image,
-                        0, 255).astype(np.uint8)
+        if value_range not in ("auto", "unit", "255"):
+            raise ValueError(f"value_range must be auto|unit|255, got {value_range!r}")
+        is_unit = value_range == "unit" or (
+            value_range == "auto" and image.max() <= 1.0
+        )
+        scaled = image * 255.0 if is_unit else image
+        image = np.clip(np.round(scaled), 0, 255).astype(np.uint8)
     return eval_transform(image, (size, size))
 
 

@@ -143,8 +143,15 @@ class mAPMetric:
         """Drop all accumulated state."""
         self._chunks: List[dict] = []
 
-    def update(self, predictions, targets):
-        """Accumulate one batch of raw (N, S, S, B*5+C) predictions/targets."""
+    def update(self, predictions, targets, sample_mask=None):
+        """Accumulate one batch of raw (N, S, S, B*5+C) predictions/targets.
+
+        ``sample_mask`` (per-host (n,) bool) drops zero-padded rows (ragged
+        final batches padded for mesh sharding). Multi-host: predictions may
+        be globally sharded jax.Arrays; per-image results are all-gathered so
+        every process accumulates the FULL dataset — per-host mAP values can
+        never diverge (and neither can best-mAP checkpoint decisions).
+        """
         out = _process_batch(
             jnp.asarray(predictions, jnp.float32),
             jnp.asarray(targets, jnp.float32),
@@ -156,7 +163,25 @@ class mAPMetric:
             self._thresholds_dev,
         )
         # Single host transfer per batch (vs. per-scalar .item() in reference).
-        self._chunks.append(jax.device_get(out))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            chunk = jax.tree.map(
+                np.asarray, multihost_utils.process_allgather(out, tiled=True)
+            )
+            if sample_mask is not None:
+                sample_mask = np.asarray(
+                    multihost_utils.process_allgather(
+                        np.asarray(sample_mask), tiled=True
+                    )
+                )
+        else:
+            chunk = jax.device_get(out)
+        if sample_mask is not None:
+            m = np.asarray(sample_mask, bool)
+            if not m.all():
+                chunk = {k: v[m] for k, v in chunk.items()}
+        self._chunks.append(chunk)
 
     # ------------------------------------------------------------------ compute
     def _concat(self, key: str) -> np.ndarray:
@@ -263,11 +288,19 @@ def evaluate_model(
     S: int = 7,
     B: int = 2,
     verbose: bool = True,
+    mesh=None,
 ) -> Dict[str, float]:
     """Evaluate a YOLO model over a dataloader (reference: metrics.py:654-714).
 
     ``model`` is a linen module, ``variables`` its {'params', 'batch_stats'}
     pytree; ``dataloader`` yields (images NHWC float32, targets) numpy batches.
+
+    With ``mesh``, the forward + decode/NMS/matching pipeline runs sharded
+    over the mesh's 'data' axis (every chip evaluates its batch slice — the
+    reference's loop is single-GPU, metrics.py:678-706); ragged final batches
+    are zero-padded to the loader's batch size and the padding excluded via
+    ``n_valid``. Multi-host results are merged before compute, so every
+    process returns identical metrics.
     """
     metric = mAPMetric(
         num_classes=num_classes,
@@ -295,7 +328,24 @@ def evaluate_model(
         except ImportError:
             pass
 
+    full_batch = getattr(dataloader, "batch_size", None)
     for images, targets in iterator:
-        preds = forward(variables, jnp.asarray(images))
-        metric.update(preds, jnp.asarray(targets))
+        n = images.shape[0]
+        mask = None
+        if full_batch is not None and n < full_batch:
+            from yolo_tpu.data.loader import pad_batch
+
+            images, targets, n = pad_batch(
+                np.asarray(images), np.asarray(targets), full_batch
+            )
+            mask = np.arange(full_batch) < n
+        if mesh is not None:
+            from yolo_tpu.parallel import put_sharded
+
+            images = put_sharded(mesh, np.asarray(images))
+            targets = put_sharded(mesh, np.asarray(targets))
+        else:
+            images, targets = jnp.asarray(images), jnp.asarray(targets)
+        preds = forward(variables, images)
+        metric.update(preds, targets, sample_mask=mask)
     return metric.compute()

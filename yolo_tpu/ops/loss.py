@@ -40,6 +40,7 @@ def yolo_loss(
     C: int = 20,
     lambda_coord: float = 5.0,
     lambda_noobj: float = 0.5,
+    sample_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Compute the YOLOv1 loss for (N, S, S, B*5+C) predictions and targets.
 
@@ -47,6 +48,11 @@ def yolo_loss(
     scalars for "total", "coord", "conf_obj", "conf_noobj", "class" — as device
     scalars (the caller decides when to sync to host, unlike the reference's
     per-step ``.item()`` syncs at loss.py:164-170).
+
+    ``sample_mask`` (N,) bool/float excludes padded samples: their terms are
+    zeroed and the normalizer becomes ``mask.sum()`` instead of N. With
+    ``sample_mask=None`` the math is bit-identical to the unmasked path (the
+    parity-pinned reference semantics).
     """
     N = predictions.shape[0]
     pred_boxes = predictions[..., : B * 5].reshape(N, S, S, B, 5)
@@ -57,6 +63,9 @@ def yolo_loss(
     target_conf_mask = target_boxes[..., 4] > 0  # (N, S, S, B)
     obj_mask = jnp.any(target_conf_mask, axis=-1)  # (N, S, S)
     obj_f = obj_mask.astype(predictions.dtype)
+    if sample_mask is not None:
+        mask_f = sample_mask.astype(predictions.dtype)  # (N,)
+        obj_f = obj_f * mask_f[:, None, None]
 
     # Select the target slot that actually holds the object.
     target_slot = jnp.argmax(target_conf_mask.astype(jnp.int32), axis=-1)
@@ -93,6 +102,8 @@ def yolo_loss(
 
     # No-object confidence loss: every non-responsible box everywhere.
     noobj_sq = jnp.where(responsible, 0.0, pred_boxes[..., 4] ** 2)
+    if sample_mask is not None:
+        noobj_sq = noobj_sq * mask_f[:, None, None, None]
     conf_noobj_loss = lambda_noobj * jnp.sum(noobj_sq)
 
     # Classification loss over object cells.
@@ -100,13 +111,17 @@ def yolo_loss(
         obj_f[..., None] * (pred_cls - target_cls) ** 2
     )
 
-    total = (coord_loss + conf_obj_loss + conf_noobj_loss + class_loss) / N
+    if sample_mask is None:
+        denom = N
+    else:
+        denom = jnp.maximum(jnp.sum(mask_f), 1.0)
+    total = (coord_loss + conf_obj_loss + conf_noobj_loss + class_loss) / denom
     components = {
         "total": total,
-        "coord": coord_loss / N,
-        "conf_obj": conf_obj_loss / N,
-        "conf_noobj": conf_noobj_loss / N,
-        "class": class_loss / N,
+        "coord": coord_loss / denom,
+        "conf_obj": conf_obj_loss / denom,
+        "conf_noobj": conf_noobj_loss / denom,
+        "class": class_loss / denom,
     }
     return total, components
 

@@ -10,6 +10,7 @@ dominant FC parameters (50176x4096 — the bulk of the model's parameters).
 from yolo_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    put_sharded,
     replicated,
     state_shardings,
     param_shardings,
@@ -21,6 +22,7 @@ __all__ = [
     "initialize_distributed",
     "make_mesh",
     "param_shardings",
+    "put_sharded",
     "replicated",
     "state_shardings",
 ]

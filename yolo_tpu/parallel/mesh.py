@@ -44,6 +44,20 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_sharded(mesh: Mesh, array):
+    """Place one host batch array on the mesh, leading dim over 'data'.
+
+    Multi-host processes hold disjoint per-host slices, so the global array is
+    assembled from process-local shards; single-host uses a plain device_put.
+    The leading dim must be divisible by the 'data' axis size — callers pad
+    ragged batches first (see ``yolo_tpu.data.pad_batch``).
+    """
+    sharding = batch_sharding(mesh, array.ndim)
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, array)
+    return jax.device_put(array, sharding)
+
+
 def _param_spec(path, leaf) -> P:
     """Partition rule for one parameter leaf.
 

@@ -133,6 +133,41 @@ def load_checkpoint(
         return pickle.load(f)
 
 
+def restore_opt_state(template_opt_state, ckpt_opt_state):
+    """Rebuild a checkpointed optimizer state in the CURRENT optimizer's
+    structure, validating compatibility first.
+
+    The checkpoint stores opt_state as a plain pytree; resuming unflattens its
+    leaves into the live optimizer's structure. If the optimizer changed
+    between save and resume (the classic case: ``--freeze-backbone`` toggled,
+    which swaps the adam chain for a multi_transform partition), blind
+    unflattening either crashes cryptically or silently mis-assigns Adam
+    moments to the wrong parameters. Raises ValueError with a clear message
+    instead.
+    """
+    t_leaves, t_struct = jax.tree.flatten(template_opt_state)
+    c_leaves = jax.tree.leaves(ckpt_opt_state)
+    if len(c_leaves) != len(t_leaves):
+        raise ValueError(
+            f"Checkpoint optimizer state has {len(c_leaves)} leaves but the"
+            f" current optimizer expects {len(t_leaves)}. This usually means"
+            " the optimizer configuration changed between save and resume"
+            " (e.g. --freeze-backbone toggled). Resume with the original"
+            " flags, or drop the optimizer state by training from the model"
+            " weights only."
+        )
+    for i, (t, c) in enumerate(zip(t_leaves, c_leaves)):
+        t_shape, c_shape = np.shape(t), np.shape(c)
+        if t_shape != c_shape:
+            raise ValueError(
+                f"Checkpoint optimizer leaf {i} has shape {c_shape} but the"
+                f" current optimizer expects {t_shape} — optimizer/model"
+                " configuration mismatch (e.g. --freeze-backbone toggled or"
+                " a different architecture). Resume with the original flags."
+            )
+    return jax.tree.unflatten(t_struct, c_leaves)
+
+
 def load_variables(
     checkpoint_path: str | Path, backbone: str = "resnet"
 ) -> Dict[str, Any]:

@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -130,7 +131,7 @@ class Trainer:
             )
             return new_state, parts
 
-        def eval_step(state: TrainState, images, targets):
+        def eval_step(state: TrainState, images, targets, mask=None):
             out = self.model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 _prep_images(images, self.model.dtype),
@@ -144,6 +145,7 @@ class Trainer:
                 C=C,
                 lambda_coord=self.lambda_coord,
                 lambda_noobj=self.lambda_noobj,
+                sample_mask=mask,
             )
             return parts
 
@@ -181,8 +183,8 @@ class Trainer:
 
         return jax.device_put(state, state_shardings(self.mesh, state))
 
-    def put_batch(self, images, targets):
-        """Transfer one host batch, sharded across the 'data' axis if meshed.
+    def put_batch(self, *arrays):
+        """Transfer host arrays, each sharded across the 'data' axis if meshed.
 
         Multi-host: each process holds a DISJOINT per-host batch (the sharded
         loader slice), so the global array must be assembled from the
@@ -191,22 +193,10 @@ class Trainer:
         (P-1)/P of the data.
         """
         if self.mesh is None:
-            return jnp.asarray(images), jnp.asarray(targets)
-        from yolo_tpu.parallel import batch_sharding
+            return tuple(jnp.asarray(a) for a in arrays)
+        from yolo_tpu.parallel import put_sharded
 
-        if jax.process_count() > 1:
-            return (
-                jax.make_array_from_process_local_data(
-                    batch_sharding(self.mesh, images.ndim), images
-                ),
-                jax.make_array_from_process_local_data(
-                    batch_sharding(self.mesh, targets.ndim), targets
-                ),
-            )
-        return (
-            jax.device_put(images, batch_sharding(self.mesh, images.ndim)),
-            jax.device_put(targets, batch_sharding(self.mesh, targets.ndim)),
-        )
+        return tuple(put_sharded(self.mesh, a) for a in arrays)
 
     # ----------------------------------------------------------------- loops
     def train_epoch(
@@ -254,12 +244,28 @@ class Trainer:
         compute_map: bool = False,
         num_classes: Optional[int] = None,
     ) -> Dict[str, float]:
-        """Validation loss pass, optionally with the full mAP suite."""
+        """Validation loss pass, optionally with the full mAP suite.
+
+        Ragged final batches (drop_last=False loaders) are zero-padded to the
+        loader's batch size — mesh batch sharding needs a divisible batch dim —
+        and masked out of the loss via ``sample_mask``, so every val image
+        counts exactly once (reference semantics, trainer.py:253-276).
+        """
+        from yolo_tpu.data.loader import pad_batch
+
         totals = {k: jnp.zeros(()) for k in _LOSS_KEYS}
         num_batches = 0
+        full_batch = getattr(dataloader, "batch_size", None)
         for images, targets in dataloader:
-            images, targets = self.put_batch(images, targets)
-            parts = self._eval_step(state, images, targets)
+            n = images.shape[0]
+            if full_batch is not None and n < full_batch:
+                images, targets, n = pad_batch(images, targets, full_batch)
+                mask = np.arange(full_batch) < n
+                images, targets, mask = self.put_batch(images, targets, mask)
+                parts = self._eval_step(state, images, targets, mask)
+            else:
+                images, targets = self.put_batch(images, targets)
+                parts = self._eval_step(state, images, targets)
             totals = {k: totals[k] + parts[k] for k in _LOSS_KEYS}
             num_batches += 1
         results = {
@@ -280,6 +286,7 @@ class Trainer:
                 nms_threshold=0.4,
                 S=self.model.S,
                 B=self.model.B,
+                mesh=self.mesh,
             )
             for key in ("mAP50:95", "mAP50", "mAP75", "precision", "recall"):
                 results[key] = map_results[key]
@@ -365,18 +372,6 @@ def train(
         save_checkpoint(
             checkpoint_dir / "yolo_latest.ckpt", epoch, state, train_losses, val_losses
         )
-        if use_orbax:
-            # Async sharded per-epoch snapshots (TPU-idiomatic; multi-host
-            # safe) alongside the reference-parity pickle files.
-            from yolo_tpu.training.checkpoints import save_checkpoint_orbax
-
-            save_checkpoint_orbax(
-                checkpoint_dir,
-                epoch,
-                state,
-                {"train_loss": train_losses["total"],
-                 "val_loss": val_losses["total"]},
-            )
         if epoch % save_frequency == 0:
             save_checkpoint(
                 checkpoint_dir / f"yolo_epoch_{epoch}.ckpt",
@@ -403,6 +398,22 @@ def train(
                 state,
                 val_losses,
                 best_map,
+            )
+        if use_orbax:
+            # Async sharded per-epoch snapshots (TPU-idiomatic; multi-host
+            # safe) alongside the reference-parity pickle files. Saved AFTER
+            # the best-metric updates so a resume restores the best-so-far
+            # tracking (best checkpoints are never overwritten by worse runs).
+            from yolo_tpu.training.checkpoints import save_checkpoint_orbax
+
+            save_checkpoint_orbax(
+                checkpoint_dir,
+                epoch,
+                state,
+                {"train_loss": train_losses["total"],
+                 "val_loss": val_losses["total"],
+                 "best_val_loss": best_val_loss,
+                 "best_map": best_map},
             )
         final_train_loss = train_losses["total"]
 
