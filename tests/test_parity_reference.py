@@ -42,3 +42,9 @@ def test_model_forward_parity():
     # Converted reference weights produce identical forwards: yolov1 config,
     # DetectionHead, resnet50 trunk, and the full flagship .pth layout.
     assert parity_check.check_model_forward(REF_SRC)
+
+
+def test_adversarial_map_parity():
+    # 128 images, scores quantized to 1 decimal (sort/NMS/IoU tie storms),
+    # dense same-class overlaps, ragged batching — still exact.
+    assert parity_check.check_map_adversarial(REF_SRC, num_images=64)

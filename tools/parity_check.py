@@ -39,6 +39,8 @@ def _stub_torchvision() -> None:
 
     class _AnyAttr(types.ModuleType):
         def __getattr__(self, name):
+            if name.startswith("__"):  # keep inspect/importlib machinery sane
+                raise AttributeError(name)
             return _Any
 
     for name in ("torchvision.transforms", "torchvision.transforms.v2",
@@ -206,6 +208,65 @@ def check_map(ref_src: Path, trials: int = 3) -> bool:
             f"  mAP trial {t}: {len(ref_res)} keys, worst |Δ|={worst:.2e}"
             f" ({worst_key}) {status}"
         )
+    return ok
+
+
+def check_map_adversarial(ref_src: Path, num_images: int = 128) -> bool:
+    """Dataset-scale adversarial mAP parity: ~128 images with deliberately
+    DUPLICATED confidence scores (quantized to 1 decimal -> massive sort ties),
+    dense same-class overlaps (3 classes only), and a ragged 'final batch'
+    update — the tie-storm regime real score distributions produce, which the
+    4-image random trials of check_map never hit."""
+    import torch
+
+    sys.path.insert(0, str(ref_src))
+    _stub_torchvision()
+    from yolo.metrics import mAPMetric as RefMetric
+
+    from yolo_tpu.metrics import mAPMetric
+
+    S, B, C = 7, 2, 20
+    rng = np.random.default_rng(11)
+
+    preds = rng.uniform(0, 1, size=(num_images, S, S, B * 5 + C)).astype(np.float32)
+    # Quantize every confidence/class score to 1 decimal: duplicate scores
+    # everywhere (ties in the global sort, ties inside NMS, equal-IoU matches).
+    preds = np.round(preds, 1)
+    targets = np.zeros_like(preds)
+    for n in range(num_images):
+        for _ in range(int(rng.integers(2, 10))):
+            i, j = rng.integers(0, S, 2)
+            targets[n, i, j, 0:5] = [
+                *np.round(rng.uniform(0, 1, 2), 1),
+                *np.round(rng.uniform(0.1, 0.9, 2), 1),
+                1.0,
+            ]
+            # 3 classes only -> dense same-class overlap across cells.
+            targets[n, i, j, B * 5 + int(rng.integers(0, 3))] = 1.0
+
+    ref = RefMetric(num_classes=C, conf_threshold=0.1, nms_threshold=0.4)
+    ours = mAPMetric(num_classes=C, conf_threshold=0.1, nms_threshold=0.4)
+    # Batched updates with a ragged final batch (128 = 48+48+32).
+    for lo, hi in ((0, 48), (48, 96), (96, num_images)):
+        ref.update(torch.tensor(preds[lo:hi]), torch.tensor(targets[lo:hi]))
+        ours.update(preds[lo:hi], targets[lo:hi])
+    ref_res = ref.compute()
+    our_res = ours.compute()
+
+    worst, worst_key, ok = 0.0, "", True
+    for key, rv in ref_res.items():
+        if key not in our_res:
+            print(f"    missing key {key}")
+            ok = False
+            continue
+        d = abs(float(rv) - float(our_res[key]))
+        if d > worst:
+            worst, worst_key = d, key
+    ok &= worst < 1e-4
+    print(
+        f"  adversarial mAP ({num_images} imgs, tie-storm): {len(ref_res)} keys,"
+        f" worst |Δ|={worst:.2e} ({worst_key}) {'OK' if ok else 'FAIL'}"
+    )
     return ok
 
 
@@ -450,6 +511,8 @@ def main():
     ok &= check_decode_nms(ref_src)
     print("mAP evaluator parity:")
     ok &= check_map(ref_src)
+    print("Adversarial-scale mAP parity (tie storms):")
+    ok &= check_map_adversarial(ref_src)
     print("Target encoding parity:")
     ok &= check_target_encoding(ref_src)
     print("Model forward parity (converted weights):")

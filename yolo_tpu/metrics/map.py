@@ -54,16 +54,25 @@ def _process_batch(
     conf_threshold: float,
     nms_threshold: float,
     thresholds: jnp.ndarray,
+    s_divisor: jnp.ndarray,
 ):
     """Decode + NMS + match one batch entirely on device.
 
     Returns per-image fixed-shape arrays:
       tp[(1+3) GT-filters]: (N, T, K) TP flags in score-sorted order
       scores/class/valid (sorted), gt area-bucket counts, gt_valid count.
+
+    ``s_divisor`` is float(S) as a TRACED argument: XLA would otherwise
+    rewrite the decode's /S into a reciprocal multiply (1 ulp off true
+    division), breaking bit-parity with the reference's Python-float decode
+    on boundary-tied IoUs.
     """
-    preds = decode_predictions(predictions, S, B, C, conf_threshold)
-    keep = batched_nms(preds, nms_threshold).valid
-    gts = decode_ground_truth(targets, S, B, C)
+    # eps=0.0: the metric's NMS IoU has no stabilizer (metrics.py:298-341),
+    # unlike the inference engine's (inference.py:248).
+    preds = decode_predictions(predictions, S, B, C, conf_threshold,
+                               s_divisor=s_divisor)
+    keep = batched_nms(preds, nms_threshold, eps=0.0).valid
+    gts = decode_ground_truth(targets, S, B, C, s_divisor=s_divisor)
 
     area = gts.boxes[..., 2] * gts.boxes[..., 3]
     small = gts.valid & (area < SMALL_AREA)
@@ -124,6 +133,7 @@ class mAPMetric:
         nms_threshold: float = 0.4,
         S: int = 7,
         B: int = 2,
+        precise: bool = True,
     ):
         self.num_classes = num_classes
         if iou_thresholds is None:
@@ -136,7 +146,15 @@ class mAPMetric:
         self.nms_threshold = nms_threshold
         self.S = S
         self.B = B
-        self._thresholds_dev = jnp.asarray(self.iou_thresholds, jnp.float32)
+        # precise=True runs decode/NMS/matching in float64 — the precision the
+        # reference computes in (every scalar goes through ``.item()`` Python
+        # floats, metrics.py:196-211). float32 flips TP decisions when an IoU
+        # or score lands EXACTLY on a threshold (geometric/score ties). The
+        # tensors at this stage are tiny (K = S*S*B slots/image), so this
+        # stage runs on the host CPU backend in native f64 (TPU f64 is
+        # software-emulated and pathologically slow) while the model forward
+        # stays on the TPU; the per-batch transfer is a few MB.
+        self.precise = precise
         self.reset()
 
     def reset(self):
@@ -148,35 +166,64 @@ class mAPMetric:
 
         ``sample_mask`` (per-host (n,) bool) drops zero-padded rows (ragged
         final batches padded for mesh sharding). Multi-host: predictions may
-        be globally sharded jax.Arrays; per-image results are all-gathered so
-        every process accumulates the FULL dataset — per-host mAP values can
-        never diverge (and neither can best-mAP checkpoint decisions).
+        be globally sharded jax.Arrays; inputs are all-gathered (they are a
+        few MB) so every process accumulates the FULL dataset — per-host mAP
+        values can never diverge (and neither can best-mAP checkpoint
+        decisions).
         """
-        out = _process_batch(
-            jnp.asarray(predictions, jnp.float32),
-            jnp.asarray(targets, jnp.float32),
-            self.S,
-            self.B,
-            self.num_classes,
-            self.conf_threshold,
-            self.nms_threshold,
-            self._thresholds_dev,
-        )
-        # Single host transfer per batch (vs. per-scalar .item() in reference).
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
-            chunk = jax.tree.map(
-                np.asarray, multihost_utils.process_allgather(out, tiled=True)
-            )
+            predictions = multihost_utils.process_allgather(predictions, tiled=True)
+            targets = multihost_utils.process_allgather(targets, tiled=True)
             if sample_mask is not None:
                 sample_mask = np.asarray(
                     multihost_utils.process_allgather(
                         np.asarray(sample_mask), tiled=True
                     )
                 )
+        if self.precise:
+            # Host numpy f64 inputs placed on the CPU backend; jit follows the
+            # data, so the whole decode/NMS/match graph runs there in native
+            # f64. The forward's output crosses device->host once per batch
+            # (a few MB), replacing the reference's per-scalar .item() syncs.
+            cpu = jax.local_devices(backend="cpu")[0]
+            prev_x64 = jax.config.jax_enable_x64
+            if not prev_x64:
+                jax.config.update("jax_enable_x64", True)
+            try:
+                out = _process_batch(
+                    jax.device_put(
+                        np.asarray(jax.device_get(predictions), np.float64), cpu
+                    ),
+                    jax.device_put(
+                        np.asarray(jax.device_get(targets), np.float64), cpu
+                    ),
+                    self.S,
+                    self.B,
+                    self.num_classes,
+                    self.conf_threshold,
+                    self.nms_threshold,
+                    jax.device_put(np.asarray(self.iou_thresholds, np.float64), cpu),
+                    jax.device_put(np.float64(self.S), cpu),
+                )
+            finally:
+                if not prev_x64:
+                    jax.config.update("jax_enable_x64", False)
         else:
-            chunk = jax.device_get(out)
+            out = _process_batch(
+                jnp.asarray(predictions, jnp.float32),
+                jnp.asarray(targets, jnp.float32),
+                self.S,
+                self.B,
+                self.num_classes,
+                self.conf_threshold,
+                self.nms_threshold,
+                jnp.asarray(self.iou_thresholds, jnp.float32),
+                jnp.asarray(float(self.S), jnp.float32),
+            )
+        # Single host transfer per batch (vs. per-scalar .item() in reference).
+        chunk = jax.device_get(out)
         if sample_mask is not None:
             m = np.asarray(sample_mask, bool)
             if not m.all():

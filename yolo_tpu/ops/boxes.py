@@ -50,9 +50,18 @@ def iou_cellwise(
     Shapes broadcast: e.g. (N, S, S, B, 4) vs (N, S, S, 1, 4) -> (N, S, S, B),
     matching the loss-side IoU semantics (reference: src/yolo/loss.py:174-212,
     ``inter / (union + 1e-6)``).
+
+    ``eps=0.0`` reproduces the reference METRIC IoU exactly
+    (src/yolo/metrics.py:298-341): plain ``inter / union`` with a
+    union == 0 -> 0 guard, no stabilizer. The 1e-6 stabilizer nudges an
+    exactly-threshold IoU (e.g. 0.5) just below it, flipping TP decisions
+    under score/geometry ties — the loss and inference-NMS paths keep it
+    (their reference counterparts have it), the mAP path must not.
     """
     inter = _intersection(center_to_corners(boxes1), center_to_corners(boxes2))
     union = box_area(boxes1) + box_area(boxes2) - inter
+    if eps == 0.0:
+        return jnp.where(union == 0.0, 0.0, inter / jnp.where(union == 0.0, 1.0, union))
     return inter / (union + eps)
 
 

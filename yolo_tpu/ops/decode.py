@@ -16,6 +16,11 @@ Semantics preserved exactly:
   (reference: src/yolo/inference.py:190)
 - strict threshold: final_conf > conf_threshold
   (reference: src/yolo/inference.py:195, src/yolo/metrics.py:213)
+  The reference compares in float64 (``.item()`` Python floats); this decode
+  compares in float32, so the operator is adjusted at trace time: when
+  float32(threshold) > threshold (e.g. 0.1), a score EQUAL to the rounded
+  threshold — the 0.1 * 1.0 case — is still above the true threshold in
+  float64, so ``>=`` reproduces the reference bit-for-bit.
 - flat candidate order is (i, j, b) row-major, matching the reference's
   append order (matters for stable tie-breaking downstream).
 """
@@ -50,20 +55,28 @@ def decode_predictions(
     B: int,
     C: int,
     conf_threshold: float,
+    s_divisor: jnp.ndarray | None = None,
 ) -> Detections:
     """Decode raw grid predictions (..., S, S, B*5+C) into flat detections.
 
     Returns Detections with K = S*S*B candidates per image, ordered (i, j, b).
+
+    ``s_divisor``: optional TRACED scalar holding float(S). XLA rewrites
+    division by a compile-time constant into multiplication by its reciprocal
+    (off by 1 ulp from true division); the reference divides in Python floats.
+    Passing S as a runtime argument forces a true divide — required for the
+    parity-exact f64 evaluator path, irrelevant for serving.
     """
     batch_shape = pred.shape[:-3]
     boxes_raw = pred[..., : B * 5].reshape(*batch_shape, S, S, B, 5)
     class_probs = pred[..., B * 5 :]  # (..., S, S, C)
 
     # Cell-relative -> absolute centers.
+    div = S if s_divisor is None else s_divisor
     i_idx = jnp.arange(S, dtype=pred.dtype)  # rows (y)
     j_idx = jnp.arange(S, dtype=pred.dtype)  # cols (x)
-    x_abs = (j_idx[None, :, None] + boxes_raw[..., 0]) / S  # (..., S, S, B)
-    y_abs = (i_idx[:, None, None] + boxes_raw[..., 1]) / S
+    x_abs = (j_idx[None, :, None] + boxes_raw[..., 0]) / div  # (..., S, S, B)
+    y_abs = (i_idx[:, None, None] + boxes_raw[..., 1]) / div
     w = boxes_raw[..., 2]
     h = boxes_raw[..., 3]
     conf = boxes_raw[..., 4]
@@ -80,7 +93,13 @@ def decode_predictions(
         .reshape(*batch_shape, K)
         .astype(jnp.int32)
     )
-    valid = scores > conf_threshold
+    import numpy as np
+
+    thr = np.dtype(scores.dtype).type(conf_threshold)
+    if float(thr) > conf_threshold:  # threshold rounded UP in this dtype
+        valid = scores >= thr
+    else:
+        valid = scores > thr
     return Detections(boxes=boxes, scores=scores, class_ids=class_ids, valid=valid)
 
 
@@ -89,6 +108,7 @@ def decode_ground_truth(
     S: int,
     B: int,
     C: int,
+    s_divisor: jnp.ndarray | None = None,
 ) -> Detections:
     """Decode YOLO targets (..., S, S, B*5+C) into flat ground-truth boxes.
 
@@ -105,10 +125,11 @@ def decode_ground_truth(
     conf0 = target[..., 4]
     class_probs = target[..., B * 5 :]
 
+    div = S if s_divisor is None else s_divisor
     i_idx = jnp.arange(S, dtype=target.dtype)
     j_idx = jnp.arange(S, dtype=target.dtype)
-    x_abs = (j_idx[None, :] + x_cell) / S
-    y_abs = (i_idx[:, None] + y_cell) / S
+    x_abs = (j_idx[None, :] + x_cell) / div
+    y_abs = (i_idx[:, None] + y_cell) / div
 
     K = S * S
     boxes = jnp.stack([x_abs, y_abs, w, h], axis=-1).reshape(*batch_shape, K, 4)

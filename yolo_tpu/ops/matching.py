@@ -75,7 +75,10 @@ def match_detections_masked(
     def per_image(pb, ps, pc, pv, gb, gc, gvm):
         order = jnp.argsort(-jnp.where(pv, ps, -jnp.inf), stable=True)
         pb_s, ps_s, pc_s, pv_s = pb[order], ps[order], pc[order], pv[order]
-        iou = iou_pairwise(pb_s, gb)  # (K, G)
+        # eps=0: the reference metric IoU has NO stabilizer
+        # (metrics.py:298-341); 1e-6 would push an exactly-0.5 IoU below
+        # the 0.5 threshold and flip that TP.
+        iou = iou_pairwise(pb_s, gb, eps=0.0)  # (K, G)
         class_ok = pc_s[:, None] == gc[None, :]
 
         def for_mask(gv):

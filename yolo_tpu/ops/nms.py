@@ -31,6 +31,7 @@ def _nms_single(
     class_ids: jnp.ndarray,  # (K,)
     valid: jnp.ndarray,  # (K,)
     iou_threshold: float,
+    eps: float,
 ) -> jnp.ndarray:
     """Greedy per-class NMS keep mask for one image (in original slot order)."""
     K = boxes.shape[0]
@@ -42,7 +43,7 @@ def _nms_single(
     sc = class_ids[order]
     sv = valid[order]
 
-    iou = iou_pairwise(sb, sb)  # (K, K)
+    iou = iou_pairwise(sb, sb, eps=eps)  # (K, K)
     same_class = sc[:, None] == sc[None, :]
     # suppress[j, i]: True when kept j (ranked above i) would suppress i.
     suppress = (iou >= iou_threshold) & same_class & sv[:, None] & sv[None, :]
@@ -58,14 +59,24 @@ def _nms_single(
     return keep
 
 
-@partial(jax.jit, static_argnames=("iou_threshold",))
-def batched_nms(dets: Detections, iou_threshold: float = 0.4) -> Detections:
+@partial(jax.jit, static_argnames=("iou_threshold", "eps"))
+def batched_nms(
+    dets: Detections, iou_threshold: float = 0.4, eps: float = None
+) -> Detections:
     """Apply per-class greedy NMS over the last axis of batched Detections.
 
     Accepts Detections with shapes (..., K[, 4]); returns the same Detections
     with ``valid`` narrowed to the NMS survivors. Defaults to the reference's
     0.4 IoU threshold (src/yolo/inference.py:296, src/yolo/metrics.py:27).
+
+    ``eps`` selects the IoU stabilizer: the inference engine's NMS uses 1e-6
+    (reference inference.py:248, the default here); the mAP evaluator's NMS
+    uses none (reference metrics.py:298-341 -> pass eps=0.0).
     """
+    from yolo_tpu.ops.boxes import EPSILON
+
+    if eps is None:
+        eps = EPSILON
     batch_shape = dets.scores.shape[:-1]
     K = dets.scores.shape[-1]
     flat = Detections(
@@ -74,7 +85,7 @@ def batched_nms(dets: Detections, iou_threshold: float = 0.4) -> Detections:
         class_ids=dets.class_ids.reshape(-1, K),
         valid=dets.valid.reshape(-1, K),
     )
-    keep = jax.vmap(_nms_single, in_axes=(0, 0, 0, 0, None))(
-        flat.boxes, flat.scores, flat.class_ids, flat.valid, iou_threshold
+    keep = jax.vmap(_nms_single, in_axes=(0, 0, 0, 0, None, None))(
+        flat.boxes, flat.scores, flat.class_ids, flat.valid, iou_threshold, eps
     )
     return dets._replace(valid=keep.reshape(*batch_shape, K))
