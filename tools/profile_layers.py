@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Per-op device-time breakdown of the flagship inference graph.
+
+Captures a jax.profiler trace of the jitted forward+decode+NMS program and
+aggregates TPU device time per HLO op (fusions, convolutions, copies), so the
+HBM-bound vs MXU-bound split is measurable instead of guessed. This is the
+profiling companion to bench.py (PARITY.md "Performance").
+
+Usage:
+    python tools/profile_layers.py [--batch 512] [--top 40] [--quantized]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def collect_events(trace_dir):
+    files = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        raise SystemExit("no trace produced")
+    with gzip.open(files[-1]) as fh:
+        data = json.load(fh)
+    events = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    return [
+        e
+        for e in events
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), "")
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--image-size", type=int, default=448)
+    args = ap.parse_args()
+
+    from yolo_tpu.utils.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_yolo_tpu")
+
+    from yolo_tpu.inference import YOLOInference
+    from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
+
+    dtype = jnp.bfloat16
+    model = YOLOv1(
+        num_classes=20, S=7, B=2,
+        backbone=ResNetBackbone(dtype=dtype, quantized=args.quantized),
+        dtype=dtype,
+    )
+    variables = init_model(
+        model, jax.random.PRNGKey(0), image_size=args.image_size
+    )
+    engine = YOLOInference(model, variables)
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(1), (args.batch, args.image_size, args.image_size, 3),
+        dtype,
+    )
+    jax.block_until_ready(imgs)
+    out = engine.predict_batch_arrays(imgs, 0.25, 0.4)
+    float(jnp.sum(out.scores))  # warmup/compile
+
+    trace_dir = "/tmp/yolo_tpu_layer_trace"
+    with jax.profiler.trace(trace_dir):
+        for _ in range(args.iters):
+            out = engine.predict_batch_arrays(imgs, 0.25, 0.4)
+        float(jnp.sum(out.scores))
+
+    events = collect_events(trace_dir)
+    # Steady-state module events only.
+    module = [e for e in events if e.get("name", "").startswith("jit__predict")]
+    total_us = sum(e["dur"] for e in module)
+    per_op = collections.Counter()
+    samples = {}
+    for e in events:
+        name = e.get("name", "")
+        if name.startswith("jit_"):
+            continue
+        per_op[name] += e["dur"]
+        if name not in samples:
+            samples[name] = e.get("args", {})
+    print(f"module total: {total_us} us over {args.iters} iters "
+          f"-> {total_us / args.iters / 1e3:.2f} ms/iter, "
+          f"{args.batch * args.iters / (total_us / 1e6):.0f} img/s")
+    print(f"{'op':<60} {'us':>10} {'%':>6}")
+    op_total = sum(per_op.values())
+    for name, dur in per_op.most_common(args.top):
+        meta = samples[name]
+        extra = ""
+        for k in ("long_name", "tf_op", "source"):
+            if meta.get(k):
+                extra = str(meta[k])[:80]
+                break
+        print(f"{name:<60} {dur:>10} {dur / max(op_total, 1) * 100:>5.1f} {extra}")
+
+
+if __name__ == "__main__":
+    main()

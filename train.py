@@ -36,7 +36,13 @@ def parse_args(argv=None):
     p.add_argument("--resume", default=None, help="'true' for latest, or a path")
     p.add_argument("--log-dir", default="runs")
     p.add_argument("--experiment-name", default=None)
-    p.add_argument("--tensorboard", action="store_true")
+    # Writer is on by default, matching the reference's unconditional
+    # SummaryWriter (reference src/train.py:87-101); --tensorboard kept as an
+    # accepted no-op for callers that passed it when it was opt-in.
+    p.add_argument("--tensorboard", action="store_true",
+                   help="accepted no-op; logging is on by default")
+    p.add_argument("--no-tensorboard", action="store_true",
+                   help="disable the TensorBoard/JSONL metric writer")
     p.add_argument("--compute-map", action="store_true")
     p.add_argument("--map-frequency", type=int, default=5)
     p.add_argument("--device", default=None, help="accepted for parity; unused")
@@ -119,7 +125,7 @@ def main(argv=None):
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
     writer = None
-    if args.tensorboard:
+    if not args.no_tensorboard:
         from datetime import datetime
 
         exp_name = args.experiment_name or (

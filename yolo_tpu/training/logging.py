@@ -56,19 +56,102 @@ class MetricWriter:
             self._tb.add_event(event)
 
     def add_hparams(self, hparams: Dict, metrics: Dict) -> None:
+        """Log an hparams run summary.
+
+        Writes the real TensorBoard hparams-plugin protos (experiment /
+        session-start / session-end + metric scalars in a timestamped
+        sub-run), matching what the reference's ``writer.add_hparams``
+        produces (src/yolo/training/logging.py:241-264), plus the JSONL
+        mirror for headless environments.
+        """
         record = {
             "hparams": {k: _jsonable(v) for k, v in hparams.items()},
             "final_metrics": {k: _jsonable(v) for k, v in metrics.items()},
         }
         self._jsonl.write(json.dumps({"hparams_summary": record}) + "\n")
-        # Scalar mirror so TB shows final metrics even without the hparams
-        # plugin protos.
-        if self._tb is not None:
+        if self._tb is None:
+            return
+        try:
+            self._write_hparams_protos(hparams, metrics)
+        except Exception:
+            # Plugin protos unavailable: scalar mirror keeps the data visible.
             for key, val in metrics.items():
                 try:
                     self.add_scalar(f"hparams/{key}", float(val), 0)
                 except (TypeError, ValueError):
                     pass
+
+    def _write_hparams_protos(self, hparams: Dict, metrics: Dict) -> None:
+        from tensorboard.plugins.hparams import api_pb2
+        from tensorboard.plugins.hparams import summary as hp_summary
+        from tensorboard.summary.writer.event_file_writer import (
+            EventFileWriter,
+        )
+
+        def _hparam_value(v):
+            if isinstance(v, bool):
+                return api_pb2.DataType.DATA_TYPE_BOOL, bool(v)
+            if isinstance(v, (int, float)):
+                return api_pb2.DataType.DATA_TYPE_FLOAT64, float(v)
+            return api_pb2.DataType.DATA_TYPE_STRING, str(v)
+
+        clean = {k: _hparam_value(v) for k, v in hparams.items()}
+        numeric_metrics = {}
+        for k, v in metrics.items():
+            try:
+                numeric_metrics[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+
+        exp = hp_summary.experiment_pb(
+            hparam_infos=[
+                api_pb2.HParamInfo(name=k, type=t) for k, (t, _) in clean.items()
+            ],
+            metric_infos=[
+                api_pb2.MetricInfo(name=api_pb2.MetricName(tag=k))
+                for k in numeric_metrics
+            ],
+        )
+        ssi = hp_summary.session_start_pb(
+            hparams={k: v for k, (_, v) in clean.items()}
+        )
+        sei = hp_summary.session_end_pb(api_pb2.Status.STATUS_SUCCESS)
+
+        # Like torch's add_hparams: the session is a timestamped child run so
+        # the plugin pairs its metrics with the session scalars.
+        sub_dir = self.log_dir / time.strftime("%b%d_%H-%M-%S")
+        sub_dir.mkdir(parents=True, exist_ok=True)
+        sub_writer = EventFileWriter(str(sub_dir))
+        try:
+            for summary in (exp, ssi, sei):
+                sub_writer.add_event(
+                    self._Event(
+                        wall_time=time.time(), step=0,
+                        summary=self._to_summary_proto(summary),
+                    )
+                )
+            for key, val in numeric_metrics.items():
+                sub_writer.add_event(
+                    self._Event(
+                        wall_time=time.time(), step=0,
+                        summary=self._Summary(
+                            value=[
+                                self._Summary.Value(tag=key, simple_value=val)
+                            ]
+                        ),
+                    )
+                )
+        finally:
+            sub_writer.close()
+
+    def _to_summary_proto(self, summary):
+        """hparams summaries are tensorboard Summary protos already; the
+        event writer needs the compat proto type, so round-trip if needed."""
+        if isinstance(summary, self._Summary):
+            return summary
+        clone = self._Summary()
+        clone.ParseFromString(summary.SerializeToString())
+        return clone
 
     def flush(self) -> None:
         self._jsonl.flush()
