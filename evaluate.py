@@ -31,6 +31,10 @@ def parse_args(argv=None):
     p.add_argument("--device", default=None, help="accepted for parity; unused")
     p.add_argument("--backbone", default="resnet", choices=["resnet", "yolov1"])
     p.add_argument("--use-bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="evaluate through the int8-resident serving engine "
+                        "(yolo_tpu/serving; resnet backbone only); measures "
+                        "the deployed-quantized accuracy")
     return p.parse_args(argv)
 
 
@@ -130,6 +134,36 @@ def main(argv=None):
         if key in payload:
             print(f"  {key}: {payload[key]}")
 
+    forward_fn = None
+    if args.int8:
+        if args.backbone != "resnet":
+            raise SystemExit("--int8 supports the resnet flagship only")
+        from yolo_tpu.data.transforms import device_normalize
+        from yolo_tpu.serving import (
+            calibrate_activations, fold_flagship, quantize_folded,
+        )
+        from yolo_tpu.serving.engine import default_impl, int8_forward
+
+        folded = fold_flagship(variables)
+        calib = []
+        for images, _ in loader:
+            images = jnp.asarray(images)
+            if images.dtype == jnp.uint8:
+                images = device_normalize(images)
+            calib.append(images.astype(jnp.float32))
+            if len(calib) >= 2:
+                break
+        act_max = calibrate_activations(folded, calib, dtype=jnp.bfloat16)
+        q = quantize_folded(folded, act_max)
+        impl = default_impl()
+        variables = q  # threaded through evaluate_model as the "variables"
+
+        def forward_fn(qparams, images):
+            return int8_forward(qparams, images, S=model.S, impl=impl)
+
+        print("int8 serving engine: calibrated on"
+              f" {sum(c.shape[0] for c in calib)} images")
+
     results = evaluate_model(
         model,
         variables,
@@ -137,6 +171,7 @@ def main(argv=None):
         num_classes=args.num_classes,
         conf_threshold=args.conf_threshold,
         nms_threshold=args.nms_threshold,
+        forward_fn=forward_fn,
     )
 
     report = format_results(results, args.num_classes, VOC_CLASSES)

@@ -24,6 +24,8 @@ def parse_args(argv=None):
     p.add_argument("--nms-threshold", type=float, default=0.4)
     p.add_argument("--device", default=None, help="accepted for parity; unused")
     p.add_argument("--backbone", default="resnet", choices=["resnet", "yolov1"])
+    p.add_argument("--int8", action="store_true",
+                   help="serve with the int8-resident engine (resnet only)")
     args = p.parse_args(argv)
     if bool(args.image) == bool(args.image_dir):
         p.error("Provide exactly one of --image or --image-dir")
@@ -39,7 +41,11 @@ def load_engine(args):
         raise SystemExit(f"Checkpoint not found: {args.checkpoint}")
     model = create_model(args.backbone, num_classes=args.num_classes)
     variables = load_variables(args.checkpoint, backbone=args.backbone)
-    return YOLOInference(model, variables)
+    if args.int8 and args.backbone != "resnet":
+        raise SystemExit("--int8 supports the resnet flagship only")
+    return YOLOInference(
+        model, variables, optimize="int8" if args.int8 else None
+    )
 
 
 def predict_single_image(engine, image_path: Path, args, out_dir: Path):

@@ -1,0 +1,204 @@
+"""Serving pipeline: BN fold correctness and the int8-resident engine.
+
+The fold test is the numerical anchor: ``folded_forward`` must reproduce
+``model.apply(train=False)`` to float tolerance (it is the fp32 base the
+int8 engine quantizes from, and the calibration oracle). The int8 tests
+check the engine runs end-to-end and tracks the fp32 forward within
+quantization tolerance on a small flagship-shaped config.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
+from yolo_tpu.serving import (
+    build_int8_predict,
+    calibrate_activations,
+    fold_flagship,
+    folded_forward,
+    quantize_folded,
+)
+from yolo_tpu.serving.engine import int8_forward
+
+
+@pytest.fixture(scope="module")
+def small_flagship():
+    """Full [3,4,6,3]-free config: 1 block per stage, 64^2 input (fast CPU)."""
+    model = YOLOv1(
+        num_classes=20, S=7, B=2,
+        backbone=ResNetBackbone(stage_sizes=(1, 1, 1, 1)),
+    )
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=64)
+    return model, variables
+
+
+def test_folded_forward_matches_model(small_flagship):
+    model, variables = small_flagship
+    images = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+
+    want = model.apply(variables, images, train=False)
+    folded = fold_flagship(variables)
+    got = folded_forward(folded, images)
+
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_int8_forward_tracks_fp32(small_flagship):
+    model, variables = small_flagship
+    key = jax.random.PRNGKey(2)
+    calib = [jax.random.normal(key, (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 3))
+
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calib)
+    assert all(v > 0 for v in act_max.values())
+    q = quantize_folded(folded, act_max)
+
+    ref = folded_forward(folded, images)
+    got = int8_forward(q, images, S=model.S)
+    assert got.shape == ref.shape
+    assert bool(jnp.all(jnp.isfinite(got)))
+    # Random-weight activations quantize coarsely; the check is that the
+    # int8 graph is the same function, not noise: outputs stay correlated
+    # and on-scale with fp32.
+    ref_f, got_f = np.asarray(ref).ravel(), np.asarray(got).ravel()
+    corr = np.corrcoef(ref_f, got_f)[0, 1]
+    assert corr > 0.98, f"int8/fp32 correlation {corr}"
+
+
+def test_int8_predict_end_to_end(small_flagship):
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 3))]
+    predict, q = build_int8_predict(model, variables, calib)
+    images = jax.random.normal(jax.random.PRNGKey(5), (4, 64, 64, 3))
+    dets = predict(q, images, 0.01, 0.4)
+    assert dets.boxes.shape[0] == 4
+    assert dets.valid.dtype == jnp.bool_
+
+
+def _random_identity_qblock(key, C, P):
+    ks = jax.random.split(key, 9)
+    ri8 = lambda k, shape: jax.random.randint(k, shape, -127, 128, jnp.int8)
+    ru = lambda k, shape, lo, hi: jax.random.uniform(k, shape, jnp.float32, lo, hi)
+    return {
+        "conv1": {"wq": ri8(ks[0], (1, 1, C, P)),
+                  "m": ru(ks[1], (P,), 1e-4, 3e-4), "t": ru(ks[2], (P,), -2, 2)},
+        "conv2": {"wq": ri8(ks[3], (3, 3, P, P)),
+                  "m": ru(ks[4], (P,), 1e-4, 3e-4), "t": ru(ks[5], (P,), -2, 2)},
+        "conv3": {"wq": ri8(ks[6], (1, 1, P, C)),
+                  "m": ru(ks[7], (C,), 1e-4, 3e-4), "t": ru(ks[8], (C,), -2, 2)},
+        "downsample": None,
+        "rx": jnp.float32(0.9),
+    }
+
+
+@pytest.mark.parametrize("H,W,C,P,TH", [(8, 8, 16, 8, 4), (12, 40, 32, 16, 6)])
+def test_pallas_int8_bottleneck_matches_xla(H, W, C, P, TH):
+    """Fused kernel == XLA int8 block, bit-exact (interpret mode).
+
+    Covers interior/top/bottom halo tiles and the W-padding path (W=40 pads
+    to 64 lanes internally).
+    """
+    from yolo_tpu.serving.engine import _block_xla
+    from yolo_tpu.serving.pallas_int8 import block_pallas
+
+    key = jax.random.PRNGKey(0)
+    qb = _random_identity_qblock(key, C, P)
+    x_q = jax.random.randint(jax.random.PRNGKey(1), (2, H, W, C), -127, 128,
+                             jnp.int8)
+    want = _block_xla(x_q, qb, stride=1)
+    got = block_pallas(x_q, qb, tile_rows=TH, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_int8_bottleneck_padded_width():
+    """W % 8 != 0 path (layer3/4 widths): padded x, bit-exact real columns.
+
+    Chains two padded blocks like the engine does (garbage pad columns must
+    not leak into real columns across blocks).
+    """
+    from yolo_tpu.serving.engine import _block_xla
+    from yolo_tpu.serving.pallas_int8 import block_pallas
+
+    H, W, C, P = 12, 12, 16, 8
+    qb1 = _random_identity_qblock(jax.random.PRNGKey(2), C, P)
+    qb2 = _random_identity_qblock(jax.random.PRNGKey(3), C, P)
+    x_q = jax.random.randint(jax.random.PRNGKey(4), (2, H, W, C), -127, 128,
+                             jnp.int8)
+    want = _block_xla(_block_xla(x_q, qb1, stride=1), qb2, stride=1)
+
+    xp = jnp.pad(x_q, ((0, 0), (0, 0), (0, 32 - W), (0, 0)),
+                 constant_values=13)  # nonzero pad: leakage would show
+    got = block_pallas(xp, qb1, tile_rows=6, interpret=True, real_w=W)
+    got = block_pallas(got, qb2, tile_rows=6, interpret=True, real_w=W)
+    np.testing.assert_array_equal(np.asarray(got[:, :, :W, :]),
+                                  np.asarray(want))
+
+
+def test_s2d_stem_bit_identical(small_flagship):
+    """Space-to-depth stem must give bit-identical int8 results (same MACs)."""
+    from yolo_tpu.serving.quant import quantize_folded
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(6), (2, 64, 64, 3))]
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calib)
+    q_direct = quantize_folded(folded, act_max, stem_mode="direct")
+    q_s2d = quantize_folded(folded, act_max, stem_mode="s2d")
+    assert q_s2d["stem"]["wq"].shape[:3] == (4, 4, 12)
+
+    images = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 64, 3))
+    out_direct = int8_forward(q_direct, images, S=model.S)
+    out_s2d = int8_forward(q_s2d, images, S=model.S)
+    np.testing.assert_array_equal(np.asarray(out_s2d), np.asarray(out_direct))
+
+
+def test_int8_engine_with_pallas_impl_matches_xla(small_flagship):
+    """Whole int8 forward with Pallas chain kernels == pure-XLA engine.
+
+    Runs the interpret-mode whole-image chain kernels inside the real engine
+    on the small flagship (stage chaining incl. layer1's downsample block,
+    the aligned AND padded width paths, and the stage-end unpad) — bit-exact
+    output grids.
+    """
+    from functools import partial
+
+    from yolo_tpu.serving.pallas_int8 import chain_pallas
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(8), (2, 64, 64, 3))]
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calib)
+    q = quantize_folded(folded, act_max)
+    images = jax.random.normal(jax.random.PRNGKey(9), (2, 64, 64, 3))
+
+    want = int8_forward(q, images, S=model.S)
+    impl = {f"layer{s}": partial(chain_pallas, interpret=True)
+            for s in (1, 2)}
+    got = int8_forward(q, images, S=model.S, impl=impl)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pallas_chain_padded_width_matches_xla():
+    """Chain kernel on a W % 8 != 0 stage (padded path), incl. ds block."""
+    from yolo_tpu.serving.engine import _block_xla
+    from yolo_tpu.serving.pallas_int8 import chain_pallas
+
+    H, W, C, P = 12, 12, 16, 8
+    qbs = [_random_identity_qblock(jax.random.PRNGKey(i), C, P)
+           for i in (11, 12)]
+    x_q = jax.random.randint(jax.random.PRNGKey(13), (2, H, W, C), -127, 128,
+                             jnp.int8)
+    want = x_q
+    for qb in qbs:
+        want = _block_xla(want, qb, stride=1)
+
+    xp = jnp.pad(x_q, ((0, 0), (0, 0), (0, 32 - W), (0, 0)),
+                 constant_values=7)
+    got = chain_pallas(xp, qbs, real_w=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got[:, :, :W, :]),
+                                  np.asarray(want))

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""End-to-end serving benchmark: bf16 engine vs int8 engine (XLA / Pallas).
+
+Measures device time of the full predict graph (forward + decode + NMS) at
+the headline batch, per variant:
+  bf16    — the exact-parity YOLOInference path (bench.py's current number)
+  int8    — serving engine, XLA int8 convs everywhere
+  int8+pl — serving engine with Pallas fused bottlenecks on selected stages
+
+Usage: python tools/bench_int8.py [--batch 512] [--variants bf16,int8,pallas]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--variants", default="bf16,int8,pallas")
+    ap.add_argument("--pallas-stages", default="1,2,3",
+                    help="stages whose identity blocks use the fused kernel")
+    ap.add_argument("--tile-rows", type=int, default=None)
+    args = ap.parse_args()
+
+    from yolo_tpu.utils.platform import respect_jax_platforms_env
+    respect_jax_platforms_env()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_yolo_tpu")
+
+    from yolo_tpu.inference import YOLOInference
+    from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
+    from yolo_tpu.serving import build_int8_predict
+    from yolo_tpu.utils.timing import device_time_ms
+
+    variants = args.variants.split(",")
+    b = args.batch
+    dtype = jnp.bfloat16
+    model = YOLOv1(num_classes=20, S=7, B=2,
+                   backbone=ResNetBackbone(dtype=dtype), dtype=dtype)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (b, 448, 448, 3), dtype)
+    jax.block_until_ready(imgs)
+
+    results = {}
+    if "bf16" in variants:
+        engine = YOLOInference(model, variables)
+        t = device_time_ms(
+            lambda im: engine.predict_batch_arrays(im, 0.25, 0.4), imgs,
+            iters=args.iters, tag="bf16",
+        )
+        results["bf16"] = t
+
+    calib = [imgs[:64]]
+    if "int8" in variants:
+        predict, q = build_int8_predict(model, variables, calib)
+        t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                           iters=args.iters, tag="int8")
+        results["int8"] = t
+
+    if "pallas" in variants:
+        from yolo_tpu.serving.pallas_int8 import chain_pallas
+
+        impl = {
+            f"layer{s}": chain_pallas
+            for s in (int(x) for x in args.pallas_stages.split(","))
+        }
+        predict, q = build_int8_predict(model, variables, calib, impl=impl)
+        t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                           iters=args.iters, tag="int8pl")
+        results["int8+pallas"] = t
+
+    print(f"batch={b}  (device ms/iter | img/s/chip)")
+    for name, t in results.items():
+        print(f"  {name:<12} {t:8.2f} ms  {b / t * 1000:8.0f} img/s")
+
+
+if __name__ == "__main__":
+    main()

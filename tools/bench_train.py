@@ -19,7 +19,7 @@ import json
 import time
 
 
-def bench_step(batch: int, remat: bool = False) -> None:
+def bench_step(batch: int, remat=False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +74,7 @@ def bench_step(batch: int, remat: bool = False) -> None:
         )
     if total_us > 0:
         ms = total_us / 1e3 / iters
-        tag = ", remat" if remat else ""
+        tag = f", remat={remat}" if remat else ""
         print(
             f"train step (b{batch}, 448^2, bf16{tag}): {ms:.1f} ms device"
             f" -> {batch / ms * 1e3:.0f} img/s/chip"
@@ -117,7 +117,8 @@ def main():
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--data-root", default="./data")
     p.add_argument("--num-workers", type=int, default=16)
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", nargs="?", const="block", default=False,
+                   choices=["block", "stage"])
     args = p.parse_args()
     bench_step(args.batch, remat=args.remat)
     bench_pipeline(args.data_root, args.batch, args.num_workers)

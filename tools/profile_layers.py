@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--quantized", action="store_true")
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the int8 serving engine (XLA convs)")
+    ap.add_argument("--int8-pallas", action="store_true",
+                    help="profile the int8 engine with Pallas bottlenecks")
     ap.add_argument("--image-size", type=int, default=448)
     args = ap.parse_args()
 
@@ -71,24 +75,40 @@ def main():
     variables = init_model(
         model, jax.random.PRNGKey(0), image_size=args.image_size
     )
-    engine = YOLOInference(model, variables)
     imgs = jax.random.normal(
         jax.random.PRNGKey(1), (args.batch, args.image_size, args.image_size, 3),
         dtype,
     )
     jax.block_until_ready(imgs)
-    out = engine.predict_batch_arrays(imgs, 0.25, 0.4)
+    if args.int8 or args.int8_pallas:
+        from yolo_tpu.serving import build_int8_predict
+
+        impl = None
+        if args.int8_pallas:
+            from yolo_tpu.serving.pallas_int8 import chain_pallas
+
+            impl = {f"layer{s}": chain_pallas for s in (1, 2, 3)}
+        predict, q = build_int8_predict(model, variables, [imgs[:64]],
+                                        impl=impl)
+        run = lambda im: predict(q, im, 0.25, 0.4)  # noqa: E731
+        module_prefix = "jit__predict"
+    else:
+        engine = YOLOInference(model, variables)
+        run = lambda im: engine.predict_batch_arrays(im, 0.25, 0.4)  # noqa: E731
+        module_prefix = "jit__predict"
+    out = run(imgs)
     float(jnp.sum(out.scores))  # warmup/compile
 
     trace_dir = "/tmp/yolo_tpu_layer_trace"
     with jax.profiler.trace(trace_dir):
         for _ in range(args.iters):
-            out = engine.predict_batch_arrays(imgs, 0.25, 0.4)
+            out = run(imgs)
+            jax.block_until_ready(out)
         float(jnp.sum(out.scores))
 
     events = collect_events(trace_dir)
     # Steady-state module events only.
-    module = [e for e in events if e.get("name", "").startswith("jit__predict")]
+    module = [e for e in events if e.get("name", "").startswith(module_prefix)]
     total_us = sum(e["dur"] for e in module)
     per_op = collections.Counter()
     samples = {}

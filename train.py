@@ -73,9 +73,14 @@ def parse_args(argv=None):
     )
     p.add_argument(
         "--remat",
-        action="store_true",
-        help="rematerialize backbone blocks in the backward pass (~30% extra"
-        " FLOPs for large-batch activation memory headroom)",
+        nargs="?",
+        const="block",
+        default="none",
+        choices=["none", "block", "stage"],
+        help="rematerialize backbone activations in the backward pass: "
+        "'block' (per-bottleneck, ~30% extra FLOPs) or 'stage' (checkpoint "
+        "only stage boundaries — frees the per-block 112^2 tensors, enabling "
+        "b256+ at 448^2); bare --remat means 'block'",
     )
     p.add_argument(
         "--orbax-checkpoints",
@@ -182,7 +187,10 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.use_amp else jnp.float32
     if args.backbone == "resnet":
-        backbone = ResNetBackbone(dtype=dtype, remat=args.remat)
+        backbone = ResNetBackbone(
+            dtype=dtype,
+            remat=False if args.remat == "none" else args.remat,
+        )
     else:
         backbone = YOLOv1Backbone(dtype=dtype)
     model = YOLOv1(

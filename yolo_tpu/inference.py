@@ -65,6 +65,15 @@ class YOLOInference:
         nms_impl: "xla" (argsort + masked scan, the default) or "pallas"
             (fused VMEM-resident selection kernel, yolo_tpu/ops/pallas_nms.py).
             Both implement identical greedy semantics and tie-breaking.
+        optimize: None (exact bf16/fp32 graph, the parity-pinned default) or
+            "int8" — rebuild the forward as the int8-resident serving
+            pipeline (yolo_tpu/serving/): BN-folded, per-channel-quantized
+            weights, calibrated activations, Pallas fused bottlenecks on the
+            HBM-bound stages. ~2x throughput; accuracy gated by
+            tools/quant_accuracy.py.
+        calibration: optional iterable of normalized image batches for int8
+            activation calibration (defaults to synthetic normal batches,
+            adequate for scale estimation; pass real data for best accuracy).
 
     Example:
         >>> engine = YOLOInference(model, variables)
@@ -72,17 +81,24 @@ class YOLOInference:
     """
 
     def __init__(
-        self, model, variables, image_size: int = 448, nms_impl: str = "xla"
+        self, model, variables, image_size: int = 448, nms_impl: str = "xla",
+        optimize: str | None = None, calibration=None,
     ):
         self.model = model
         self.variables = variables
         self.image_size = image_size
         if nms_impl not in ("xla", "pallas"):
             raise ValueError(f"nms_impl must be 'xla' or 'pallas', got {nms_impl!r}")
+        if optimize not in (None, "int8"):
+            raise ValueError(f"optimize must be None or 'int8', got {optimize!r}")
         if nms_impl == "pallas":
             from yolo_tpu.ops.pallas_nms import pallas_nms as _nms
         else:
             _nms = batched_nms
+
+        if optimize == "int8":
+            self._predict_batch = self._build_int8(model, variables, calibration)
+            return
 
         # Variables are an explicit jit argument: closing over them would bake
         # the full parameter tree into the compiled program as constants
@@ -102,6 +118,22 @@ class YOLOInference:
         self._predict_batch = lambda images, conf, nms: _predict_batch_impl(
             self.variables, images, conf, nms
         )
+
+    def _build_int8(self, model, variables, calibration):
+        from yolo_tpu.serving import build_int8_predict
+        from yolo_tpu.serving.engine import default_impl
+
+        if calibration is None:
+            calibration = [
+                jax.random.normal(
+                    jax.random.PRNGKey(0),
+                    (8, self.image_size, self.image_size, 3),
+                )
+            ]
+        predict, q = build_int8_predict(
+            model, variables, calibration, impl=default_impl()
+        )
+        return lambda images, conf, nms: predict(q, images, conf, nms)
 
     # ------------------------------------------------------------------- images
     def load_image(self, image_path: str) -> Image.Image:

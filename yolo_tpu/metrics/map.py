@@ -336,13 +336,17 @@ def evaluate_model(
     B: int = 2,
     verbose: bool = True,
     mesh=None,
+    forward_fn=None,
 ) -> Dict[str, float]:
     """Evaluate a YOLO model over a dataloader (reference: metrics.py:654-714).
 
     ``model`` is a linen module, ``variables`` its {'params', 'batch_stats'}
     pytree; ``dataloader`` yields (images NHWC float32, targets) numpy batches.
 
-    With ``mesh``, the forward + decode/NMS/matching pipeline runs sharded
+    ``forward_fn`` overrides the forward pass (signature
+    ``(variables, images_normalized_f32) -> (N, S, S, B*5+C)``) — used by
+    evaluate.py --int8 to run the quantized serving engine through the same
+    evaluator. With ``mesh``, the forward + decode/NMS/matching pipeline runs sharded
     over the mesh's 'data' axis (every chip evaluates its batch slice — the
     reference's loop is single-GPU, metrics.py:678-706); ragged final batches
     are zero-padded to the loader's batch size and the padding excluded via
@@ -364,6 +368,8 @@ def evaluate_model(
             from yolo_tpu.data.transforms import device_normalize
 
             images = device_normalize(images)
+        if forward_fn is not None:
+            return forward_fn(variables, images)
         return model.apply(variables, images.astype(model.dtype), train=False)
 
     iterator = dataloader

@@ -129,7 +129,16 @@ class ResNetBackbone(Backbone):
     dtype: jnp.dtype = jnp.float32
     stage_sizes: tuple = (3, 4, 6, 3)
     quantized: bool = False
-    remat: bool = False
+    # Rematerialisation granularity for the backward pass:
+    #   False/"none"  — store all activations (fastest, most memory)
+    #   True/"block"  — recompute inside each bottleneck (~30% extra FLOPs),
+    #                   but each block's 112^2 INPUT is still stored, which is
+    #                   why b256@448^2 used to OOM (PARITY.md).
+    #   "stage"       — checkpoint only the 4 stage boundaries: the backward
+    #                   pass re-runs a whole stage from its (much smaller or
+    #                   at-least-once-needed) input, freeing every per-block
+    #                   112^2/56^2 tensor for large-batch training.
+    remat: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -138,26 +147,38 @@ class ResNetBackbone(Backbone):
         x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)
-        # Block-granular rematerialisation: each bottleneck's activations are
-        # recomputed in the backward pass instead of stored, trading ~30%
-        # extra FLOPs for the activation memory that otherwise OOMs HBM at
-        # large batch x 448^2 (b256 needs ~16.6G vs 15.75G available).
-        # static_argnums=(2,): ``train`` is a Python bool consumed in control
-        # flow (BatchNorm's use_running_average), not a traced value.
-        block_cls = (
-            nn.remat(Bottleneck, static_argnums=(2,)) if self.remat else Bottleneck
+        mode = (
+            self.remat
+            if isinstance(self.remat, str)
+            else ("block" if self.remat else "none")
         )
-        planes = 64
-        for stage, num_blocks in enumerate(self.stage_sizes):
+        # static_argnums: ``train`` (and the stage config ints) are Python
+        # values consumed in control flow, not traced arrays.
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,))
+            if mode == "block"
+            else Bottleneck
+        )
+
+        def run_stage(mdl, x, stage, num_blocks, train):
+            planes = 64 * (2 ** stage)
             stride = 1 if stage == 0 else 2
             for block in range(num_blocks):
                 x = block_cls(
                     planes=planes,
                     stride=stride if block == 0 else 1,
                     downsample=block == 0,
-                    dtype=self.dtype,
-                    quantized=self.quantized,
+                    dtype=mdl.dtype,
+                    quantized=mdl.quantized,
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train)
-            planes *= 2
+            return x
+
+        stage_fn = (
+            nn.remat(run_stage, static_argnums=(2, 3, 4))
+            if mode == "stage"
+            else run_stage
+        )
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            x = stage_fn(self, x, stage, num_blocks, train)
         return x

@@ -1,0 +1,217 @@
+"""The int8-resident serving executor: quantized forward + decode + NMS.
+
+Activations enter as normalized images, are quantized once, and stay int8
+through the stem, all 16 bottleneck blocks, and the 4 head convs; every conv
+runs int8 x int8 -> int32 on the MXU with a fused per-channel fma epilogue
+(see serving/quant.py for the scale algebra). The FC stack runs bf16 and the
+standard decode + per-class NMS tail (ops/decode.py, ops/nms.py) is appended
+unchanged, so the serving graph has the same output surface as
+``YOLOInference._predict_batch``.
+
+Hot stages can be overridden with Pallas kernels (``impl``): the fused
+int8 bottleneck kernel in serving/pallas_int8.py keeps a block's y1/y2
+intermediates VMEM-resident, which matters on the HBM-bound 112^2/56^2
+stages (tools/profile_layers.py: layer1 alone is ~31% of device time at
+~8x its compute roofline).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from yolo_tpu.ops.decode import decode_predictions
+from yolo_tpu.ops.nms import batched_nms
+
+
+def _conv_i8(x_q, w_q, stride=1, pad=0):
+    return lax.conv_general_dilated(
+        x_q, w_q, (stride, stride), [(pad, pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _requant(acc_i32, m, t, extra=None, leaky: bool = False):
+    """int32 accumulator -> activation -> int8 (output-scale units)."""
+    y = acc_i32.astype(jnp.float32) * m + t
+    if extra is not None:
+        y = y + extra
+    y = jnp.where(y > 0, y, 0.1 * y) if leaky else jnp.maximum(y, 0.0)
+    return jnp.clip(jnp.round(y), -127, 127).astype(jnp.int8)
+
+
+def _quantize_input(images, s_img):
+    x = images.astype(jnp.float32) / s_img
+    return jnp.clip(jnp.round(x), -127, 127).astype(jnp.int8)
+
+
+def _dot_1x1_i8(x_q, w_q):
+    """1x1 conv as a reshaped int8 dot.
+
+    XLA TPU fuses elementwise epilogues into dots but NOT into convolutions:
+    the conv form materializes the s32 accumulator to HBM and re-reads it for
+    the requant (profiled at ~6 ms/iter for layer1's conv3 alone @b256 —
+    4 bytes/elem each way). The dot form keeps the requant in the dot's
+    epilogue fusion. Integer math — bit-identical results either way.
+    """
+    n, h, w, c = x_q.shape
+    acc = lax.dot_general(
+        x_q.reshape(n * h * w, c), w_q.reshape(w_q.shape[-2:]),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return acc.reshape(n, h, w, -1)
+
+
+def _block_xla(x_q, qb, stride=1):
+    """One bottleneck block: int8 dots (1x1) + int8 conv (3x3), fused requants."""
+    acc = _dot_1x1_i8(x_q, qb["conv1"]["wq"])
+    y1 = _requant(acc, qb["conv1"]["m"], qb["conv1"]["t"])
+    acc = _conv_i8(y1, qb["conv2"]["wq"], stride=stride, pad=1)
+    y2 = _requant(acc, qb["conv2"]["m"], qb["conv2"]["t"])
+    acc = _dot_1x1_i8(y2, qb["conv3"]["wq"])
+    if qb["downsample"] is not None:
+        # Requantize the downsample branch to int8 (output scale) on its own:
+        # a two-dot epilogue defeats XLA's fusion (profiled: the conv3 chain
+        # spills a 4-byte/elem accumulator to HBM, ~11 ms/iter at layer1
+        # b256), while two single-chain dot+requant fusions stay on-chip.
+        # Costs one extra rounding on the residual branch (<=0.5 LSB, covered
+        # by tools/quant_accuracy.py); identity blocks are untouched.
+        xs = x_q[:, ::stride, ::stride, :] if stride > 1 else x_q
+        dacc = _dot_1x1_i8(xs, qb["downsample"]["wq"])
+        # int16 at the output scale: the branch alone can exceed the post-relu
+        # calibrated range (the sum pulls it back), so +-127 would saturate;
+        # +-32767 cannot in practice, and 2 B/elem still halves the spill.
+        dsf = dacc.astype(jnp.float32) * qb["downsample"]["m"] + qb["downsample"]["t"]
+        ds_q = jnp.clip(jnp.round(dsf), -32767, 32767).astype(jnp.int16)
+        extra = ds_q.astype(jnp.float32)
+    else:
+        extra = x_q.astype(jnp.float32) * qb["rx"]
+    return _requant(acc, qb["conv3"]["m"], qb["conv3"]["t"], extra=extra)
+
+
+def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
+    """Quantized serving forward -> (N, S, S, B*5+C) f32 grid."""
+    impl = impl or {}
+    x_q = _quantize_input(images, q["s_img"])
+
+    stem_wq = q["stem"]["wq"]
+    if stem_wq.shape[0] == 4:  # space-to-depth stem (quant.s2d_stem_weights)
+        n, h, w, c = x_q.shape
+        xs = (
+            x_q.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+        acc = lax.conv_general_dilated(
+            xs, stem_wq, (1, 1), [(2, 1), (2, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+    else:
+        acc = _conv_i8(x_q, stem_wq, stride=2, pad=3)
+    x_q = _requant(acc, q["stem"]["m"], q["stem"]["t"])
+    x_q = lax.reduce_window(
+        x_q, jnp.int8(-128), lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+    for si, blocks in enumerate(q["layers"]):
+        # impl[f"layer{i}"] is a STAGE-CHAIN callable
+        # (x_q, qblocks, real_w=None) -> x_q over the stage's stride-1
+        # blocks (serving.pallas_int8.chain_pallas). Stride-2 transition
+        # blocks (layers 2-4) stay on the XLA path; layer1's stride-1
+        # transition (downsample included) is part of the chain.
+        chain_fn = impl.get(f"layer{si + 1}", None)
+        if chain_fn is None:
+            for bi, qb in enumerate(blocks):
+                stride = 2 if (si > 0 and bi == 0) else 1
+                x_q = _block_xla(x_q, qb, stride)
+            continue
+        start = 0
+        if si > 0:
+            x_q = _block_xla(x_q, blocks[0], 2)
+            start = 1
+        w = x_q.shape[2]
+        if w % 8 != 0:
+            # Pad W to the int8 lane multiple once for the whole chain
+            # (28/14-wide stages fail the kernel's sublane alignment).
+            wp = (w + 31) // 32 * 32
+            x_q = jnp.pad(x_q, ((0, 0), (0, 0), (0, wp - w), (0, 0)))
+            x_q = chain_fn(x_q, blocks[start:], real_w=w)
+            x_q = x_q[:, :, :w, :]
+        else:
+            x_q = chain_fn(x_q, blocks[start:])
+
+    head = q["head"]
+    for i, stride in ((1, 1), (2, 2), (3, 1), (4, 1)):
+        conv_fn = impl.get(f"head_conv{i}", None)
+        qc = head[f"conv{i}"]
+        if conv_fn is not None:
+            x_q = conv_fn(x_q, qc)
+        else:
+            acc = _conv_i8(x_q, qc["wq"], stride=stride, pad=1)
+            x_q = _requant(acc, qc["m"], qc["t"], leaky=True)
+
+    x = x_q.astype(jnp.bfloat16) * head["s_out4"].astype(jnp.bfloat16)
+    n = x.shape[0]
+    x = x.reshape(n, -1)
+    x = jnp.dot(x, head["fc1"]["w"], preferred_element_type=jnp.float32)
+    x = x + head["fc1"]["b"]
+    x = jnp.where(x > 0, x, 0.1 * x).astype(jnp.bfloat16)
+    x = jnp.dot(x, head["fc2"]["w"], preferred_element_type=jnp.float32)
+    x = x + head["fc2"]["b"]
+    return x.reshape(n, S, S, -1)
+
+
+def default_impl() -> Dict:
+    """Production stage-impl map: Pallas whole-image chain kernels on the
+    HBM-bound stages when running on TPU, pure XLA elsewhere (CPU tests)."""
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    from yolo_tpu.serving.pallas_int8 import chain_pallas
+
+    return {f"layer{s}": chain_pallas for s in (1, 2, 3)}
+
+
+def make_int8_engine_fn(S: int, B: int, num_classes: int, impl: Dict | None = None):
+    """Jitted (q_params, images, conf, nms) -> Detections serving function.
+
+    q_params is a jit argument (weights are NOT baked into the executable).
+    """
+
+    @partial(jax.jit, static_argnames=("conf_threshold", "nms_threshold"))
+    def _predict(q, images, conf_threshold, nms_threshold):
+        preds = int8_forward(q, images, S=S, impl=impl)
+        dets = decode_predictions(
+            preds.astype(jnp.float32), S, B, num_classes, conf_threshold
+        )
+        return batched_nms(dets, nms_threshold)
+
+    return _predict
+
+
+def build_int8_predict(model, variables, calibration_images, impl=None):
+    """One-stop build: fold -> calibrate -> quantize -> jitted predict fn.
+
+    ``calibration_images``: iterable of (n, H, W, 3) normalized image batches
+    used to set activation scales (a few batches of representative data; for
+    benchmarks random inputs work because scales only need magnitude).
+    Returns (predict_fn, q_params).
+    """
+    from yolo_tpu.serving.fold import fold_flagship
+    from yolo_tpu.serving.quant import calibrate_activations, quantize_folded
+
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calibration_images,
+                                    dtype=jnp.bfloat16)
+    q = quantize_folded(folded, act_max)
+    fn = make_int8_engine_fn(model.S, model.B, model.num_classes, impl=impl)
+    return fn, q

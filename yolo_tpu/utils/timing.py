@@ -55,7 +55,14 @@ def device_time_ms(fn, *args, iters: int = 6, tag: str = "op") -> float:
     with jax.profiler.trace(trace_dir):
         for _ in range(iters):
             out = fn(*args)
-        leaf = jax.tree.leaves(out)[0]
-        float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+            # Block per iteration: device-time sums ignore host gaps, and
+            # letting un-consumed outputs pile up OOMs the chip (the tunnel
+            # backend frees dropped buffers lazily).
+            jax.block_until_ready(out)
+    # Force/verify completion OUTSIDE the trace: the reduction program over a
+    # large output would otherwise be counted into the measurement (observed:
+    # +2.3 ms/iter on a 0.8 GB output at iters=4).
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
     total_us = _module_device_us(trace_dir)
     return total_us / 1e3 / iters
