@@ -5,6 +5,12 @@ Baseline (BASELINE.json): >= 5000 images/sec/chip on the flagship ResNet50
 configuration with the full on-device postprocessing graph (decode + per-class
 greedy NMS), zero per-image host syncs. Prints ONE JSON line.
 
+The measured configuration is the production serving path: the int8-resident
+engine (yolo_tpu/serving/ — BN-folded, per-channel int8 weights, calibrated
+activations, space-to-depth stem; accuracy gated by tools/quant_accuracy.py
+and tools/import_reference_weights.py). Set YOLO_TPU_BENCH_ENGINE=bf16 to
+measure the exact-parity bf16 graph instead (the round-1 configuration).
+
 Timing methodology (remote-attached TPUs lie to wall clocks):
 1. PRIMARY: capture a jax.profiler trace of the steady-state loop and sum the
    DEVICE duration of the jitted program's executions — immune to the
@@ -20,11 +26,12 @@ from __future__ import annotations
 import glob
 import gzip
 import json
+import os
 import statistics
 import time
 
 
-def _device_throughput(engine, imgs, batch, iters=6):
+def _device_throughput(predict, imgs, batch, iters=6):
     """Profiler-based: sum device time of the jitted program's executions."""
     import jax
     import jax.numpy as jnp
@@ -33,8 +40,9 @@ def _device_throughput(engine, imgs, batch, iters=6):
     with jax.profiler.trace(trace_dir):
         out = None
         for _ in range(iters):
-            out = engine.predict_batch_arrays(imgs, 0.25, 0.4)
-        float(jnp.sum(out.scores))  # force completion inside the trace
+            out = predict(imgs)
+            jax.block_until_ready(out)
+    float(jnp.sum(out.scores))  # verify completion (outside the trace)
     files = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz"))
     if not files:
         return None
@@ -58,7 +66,7 @@ def _device_throughput(engine, imgs, batch, iters=6):
     return batch * iters / (total_us / 1e6)
 
 
-def _wallclock_throughput(engine, imgs_set, batch):
+def _wallclock_throughput(predict, imgs_set, batch):
     import jax
     import jax.numpy as jnp
 
@@ -67,10 +75,7 @@ def _wallclock_throughput(engine, imgs_set, batch):
 
     def run(iters: int) -> float:
         t0 = time.perf_counter()
-        sums = [
-            score_sum(engine.predict_batch_arrays(imgs_set[i % 4], 0.25, 0.4))
-            for i in range(iters)
-        ]
+        sums = [score_sum(predict(imgs_set[i % 4])) for i in range(iters)]
         float(reduce(sums))
         return time.perf_counter() - t0
 
@@ -95,33 +100,49 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_yolo_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    from yolo_tpu.inference import YOLOInference
     from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
 
-    batch = 512
+    # b256 measured marginally faster than b512 for the int8 engine
+    # (3,888 vs 3,859 img/s); it also halves benchmark HBM pressure on the
+    # shared tunnel chip.
+    batch = 256
     dtype = jnp.bfloat16
+    engine_kind = os.environ.get("YOLO_TPU_BENCH_ENGINE", "int8")
 
     model = YOLOv1(
         num_classes=20, S=7, B=2, backbone=ResNetBackbone(dtype=dtype), dtype=dtype
     )
     variables = init_model(model, jax.random.PRNGKey(0))
-    engine = YOLOInference(model, variables)
-
     imgs = jax.random.normal(
         jax.random.PRNGKey(1), (4, batch, 448, 448, 3), dtype
     )
     jax.block_until_ready(imgs)
+
+    if engine_kind == "int8":
+        from yolo_tpu.serving import build_int8_predict
+        from yolo_tpu.serving.engine import default_impl
+
+        fn, q = build_int8_predict(
+            model, variables, [imgs[0][:64]], impl=default_impl()
+        )
+        predict = lambda im: fn(q, im, 0.25, 0.4)  # noqa: E731
+    else:
+        from yolo_tpu.inference import YOLOInference
+
+        engine = YOLOInference(model, variables)
+        predict = lambda im: engine.predict_batch_arrays(im, 0.25, 0.4)  # noqa: E731
+
     # Warmup / compile.
-    out = engine.predict_batch_arrays(imgs[0], 0.25, 0.4)
+    out = predict(imgs[0])
     float(jnp.sum(out.scores))
 
     throughput = None
     try:
-        throughput = _device_throughput(engine, imgs[0], batch)
+        throughput = _device_throughput(predict, imgs[0], batch)
     except Exception:
         throughput = None
     if not throughput:
-        throughput = _wallclock_throughput(engine, imgs, batch)
+        throughput = _wallclock_throughput(predict, imgs, batch)
 
     print(
         json.dumps(
@@ -130,6 +151,8 @@ def main():
                 "value": round(throughput, 1),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(throughput / 5000.0, 3),
+                "engine": f"{engine_kind}-serving"
+                if engine_kind == "int8" else "bf16-exact",
             }
         )
     )

@@ -16,7 +16,11 @@ import argparse
 import glob
 import gzip
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def bench_step(batch: int, remat=False) -> None:

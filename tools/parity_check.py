@@ -18,6 +18,8 @@ import argparse
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 
@@ -378,13 +380,19 @@ def _max_diff(a, b):
     return float(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64)).max())
 
 
-def check_model_forward(ref_src: Path) -> bool:
+def check_model_forward(ref_src: Path, quick: bool = False) -> bool:
     """Full-model forward parity: reference torch modules with random weights,
     state dicts converted via yolo_tpu.convert, forwards diffed in eval mode.
 
     Covers the whole converted-checkpoint path end-to-end (SURVEY §7 hard-part
     #1): conv padding arithmetic, BN eval semantics, LeakyReLU, maxpool
     padding, and the NHWC-flatten FC re-indexing.
+
+    ``quick=True`` (the pytest configuration) runs only the resolution-
+    flexible cases — DetectionHead at its native 14² features and the
+    ResNet50 trunk at 128² — because the 448²-hardcoded full-model cases
+    take tens of minutes to compile on the single-core CPU test host. The
+    full four-case sweep runs via ``python tools/parity_check.py`` (TPU).
     """
     import torch
 
@@ -407,22 +415,27 @@ def check_model_forward(ref_src: Path) -> bool:
     ok = True
     torch.manual_seed(0)
 
+    trunk_size = 128 if quick else 448
     with jax.default_matmul_precision("highest"), torch.no_grad():
         # 1. YOLOv1Backbone + SimpleHead full model (pure-torch reference cfg).
-        ref_model = RefYOLO(backbone=RefYOLOBackbone()).eval()
-        x = rng.normal(0, 1, (2, 3, 448, 448)).astype(np.float32)
-        ref_out = ref_model(torch.tensor(x)).numpy()
-        variables = convert_reference_state_dict(
-            ref_model.state_dict(), backbone="yolov1"
-        )
-        ours = YOLOv1(num_classes=20, backbone=YOLOv1Backbone())
-        our_out = jax.jit(
-            lambda v, im: ours.apply(v, im, train=False)
-        )(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
-        d = _max_diff(ref_out, our_out)
-        status = "OK " if d < 1e-3 else "FAIL"
-        ok &= status == "OK "
-        print(f"  model fwd [yolov1 backbone + simple head]: |Δ|max={d:.2e} {status}")
+        if quick:
+            ref_model = None  # 448²-hardcoded FCs; covered by the full run
+        else:
+            ref_model = RefYOLO(backbone=RefYOLOBackbone()).eval()
+        if ref_model is not None:
+            x = rng.normal(0, 1, (2, 3, 448, 448)).astype(np.float32)
+            ref_out = ref_model(torch.tensor(x)).numpy()
+            variables = convert_reference_state_dict(
+                ref_model.state_dict(), backbone="yolov1"
+            )
+            ours = YOLOv1(num_classes=20, backbone=YOLOv1Backbone())
+            our_out = jax.jit(
+                lambda v, im: ours.apply(v, im, train=False)
+            )(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+            d = _max_diff(ref_out, our_out)
+            status = "OK " if d < 1e-3 else "FAIL"
+            ok &= status == "OK "
+            print(f"  model fwd [yolov1 backbone + simple head]: |Δ|max={d:.2e} {status}")
 
         # 2. DetectionHead alone on ResNet-shaped features.
         ref_head = RefHead(2048).eval()
@@ -445,7 +458,7 @@ def check_model_forward(ref_src: Path) -> bool:
         # 3. ResNet50 trunk (torchvision-layout oracle, randomized BN stats).
         torch_resnet = _build_torch_resnet50(torch).eval()
         _randomize_bn_buffers(torch, torch_resnet, rng)
-        x = rng.normal(0, 1, (1, 3, 448, 448)).astype(np.float32)
+        x = rng.normal(0, 1, (1, 3, trunk_size, trunk_size)).astype(np.float32)
         ref_out = torch_resnet(torch.tensor(x)).numpy()
         converted = convert_torchvision_resnet50(torch_resnet.state_dict())
         our_bb = ResNetBackbone()
@@ -475,19 +488,20 @@ def check_model_forward(ref_src: Path) -> bool:
             def forward(self, x):
                 return self.head(self.backbone.extractor(x))
 
-        flagship = RefStyleFlagship(torch_resnet, RefHead(2048)).eval()
-        ref_out = flagship(torch.tensor(x)).numpy()
-        variables = convert_reference_state_dict(
-            flagship.state_dict(), backbone="resnet"
-        )
-        our_model = create_model("resnet", num_classes=20)
-        our_out = jax.jit(
-            lambda v, im: our_model.apply(v, im, train=False)
-        )(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
-        d = _max_diff(ref_out, our_out)
-        status = "OK " if d < 1e-3 else "FAIL"
-        ok &= status == "OK "
-        print(f"  model fwd [flagship resnet50+head, .pth layout]: |Δ|max={d:.2e} {status}")
+        if not quick:  # the reference head's FCs are 448²-hardcoded
+            flagship = RefStyleFlagship(torch_resnet, RefHead(2048)).eval()
+            ref_out = flagship(torch.tensor(x)).numpy()
+            variables = convert_reference_state_dict(
+                flagship.state_dict(), backbone="resnet"
+            )
+            our_model = create_model("resnet", num_classes=20)
+            our_out = jax.jit(
+                lambda v, im: our_model.apply(v, im, train=False)
+            )(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+            d = _max_diff(ref_out, our_out)
+            status = "OK " if d < 1e-3 else "FAIL"
+            ok &= status == "OK "
+            print(f"  model fwd [flagship resnet50+head, .pth layout]: |Δ|max={d:.2e} {status}")
     return ok
 
 

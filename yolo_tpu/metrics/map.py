@@ -182,12 +182,18 @@ class mAPMetric:
                         np.asarray(sample_mask), tiled=True
                     )
                 )
-        if self.precise:
+        try:
+            cpu = jax.local_devices(backend="cpu")[0] if self.precise else None
+        except RuntimeError:
+            # No CPU backend registered (e.g. JAX_PLATFORMS pinned to the TPU
+            # platform only): fall back to the f32 on-device path. Parity
+            # checks always run with a CPU backend available.
+            cpu = None
+        if self.precise and cpu is not None:
             # Host numpy f64 inputs placed on the CPU backend; jit follows the
             # data, so the whole decode/NMS/match graph runs there in native
             # f64. The forward's output crosses device->host once per batch
             # (a few MB), replacing the reference's per-scalar .item() syncs.
-            cpu = jax.local_devices(backend="cpu")[0]
             prev_x64 = jax.config.jax_enable_x64
             if not prev_x64:
                 jax.config.update("jax_enable_x64", True)

@@ -137,6 +137,8 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
         if si > 0:
             x_q = _block_xla(x_q, blocks[0], 2)
             start = 1
+        if start >= len(blocks):  # stage with only its transition block
+            continue
         w = x_q.shape[2]
         if w % 8 != 0:
             # Pad W to the int8 lane multiple once for the whole chain
@@ -170,15 +172,17 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
 
 
 def default_impl() -> Dict:
-    """Production stage-impl map: Pallas whole-image chain kernels on the
-    HBM-bound stages when running on TPU, pure XLA elsewhere (CPU tests)."""
-    import jax
+    """Production stage-impl map: pure XLA everywhere.
 
-    if jax.default_backend() not in ("tpu", "axon"):
-        return {}
-    from yolo_tpu.serving.pallas_int8 import chain_pallas
-
-    return {f"layer{s}": chain_pallas for s in (1, 2, 3)}
+    Both Pallas bottleneck kernels (per-tile and whole-image chain,
+    serving/pallas_int8.py) were measured SLOWER than the XLA int8 dot
+    formulation on v5e (layer1 identity block @b256: XLA 6.3 ms vs Pallas
+    10.3; a trivial-epilogue diagnostic still runs 8.5 — the 64-plane dot
+    geometry under-fills the 128x128 MXU and no amount of fusion recovers
+    it). The kernels stay available through ``impl`` for future shapes/
+    hardware; see PARITY.md "Performance" for the full measurement table.
+    """
+    return {}
 
 
 def make_int8_engine_fn(S: int, B: int, num_classes: int, impl: Dict | None = None):
