@@ -27,6 +27,8 @@ import argparse
 import sys
 from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 # Reference README.md:40-44 (published on VOC2007 test).
 REFERENCE_METRICS = {
     "mAP50:95": 0.2120,

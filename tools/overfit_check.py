@@ -16,6 +16,10 @@ Usage: python tools/overfit_check.py [--steps 2000] [--batch 16] [--size 224]
 from __future__ import annotations
 
 import argparse
+import sys as _sys
+from pathlib import Path as _Path
+
+_sys.path.insert(0, str(_Path(__file__).resolve().parents[1]))
 
 
 def main():
