@@ -1,0 +1,57 @@
+"""respect_jax_platforms_env: XLA flag augmentation for forced CPU meshes.
+
+The collective-rendezvous deadline relaxation (utils/platform.py) only fires
+for a forced multi-device CPU mesh on a host with fewer cores than devices —
+the configuration where XLA:CPU's default 40 s deadline CHECK-failed training
+(observed on the 1-core verify host).
+"""
+
+import os
+from unittest import mock
+
+from yolo_tpu.utils import platform
+
+
+def _flags_after(env):
+    with mock.patch.dict(os.environ, env, clear=False):
+        for k in ("JAX_PLATFORMS", "XLA_FLAGS"):
+            if k not in env:
+                os.environ.pop(k, None)
+        platform.respect_jax_platforms_env()
+        return os.environ.get("XLA_FLAGS", "")
+
+
+def test_relaxes_deadline_for_oversubscribed_cpu_mesh():
+    with mock.patch("os.cpu_count", return_value=1):
+        flags = _flags_after({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        })
+    assert "collective_call_terminate_timeout_seconds=1200" in flags
+    assert "collective_call_warn_stuck_timeout_seconds=300" in flags
+
+
+def test_no_change_when_cores_suffice():
+    with mock.patch("os.cpu_count", return_value=16):
+        flags = _flags_after({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        })
+    assert "collective_call_terminate" not in flags
+
+
+def test_no_change_without_forced_device_count():
+    with mock.patch("os.cpu_count", return_value=1):
+        flags = _flags_after({"JAX_PLATFORMS": "cpu"})
+    assert "collective_call_terminate" not in flags
+
+
+def test_existing_user_setting_wins():
+    with mock.patch("os.cpu_count", return_value=1):
+        flags = _flags_after({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                         "--xla_cpu_collective_call_terminate_timeout_seconds=77",
+        })
+    assert flags.count("collective_call_terminate") == 1
+    assert "=77" in flags
