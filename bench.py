@@ -90,14 +90,19 @@ def _wallclock_throughput(predict, imgs_set, batch):
 
 
 def main():
-    from yolo_tpu.utils.platform import respect_jax_platforms_env
+    from yolo_tpu.utils.platform import (
+        machine_cache_dir,
+        respect_jax_platforms_env,
+    )
 
     respect_jax_platforms_env()
 
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_yolo_tpu")
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_cache_yolo_tpu")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model

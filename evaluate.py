@@ -35,6 +35,19 @@ def parse_args(argv=None):
                    help="evaluate through the int8-resident serving engine "
                         "(yolo_tpu/serving; resnet backbone only); measures "
                         "the deployed-quantized accuracy")
+    p.add_argument("--calib-data", default=None,
+                   help="dataset spec for int8 activation calibration, e.g. "
+                        "'2007:trainval' (same --data-root). Default: the "
+                        "first eval batches — fine for scale estimation but "
+                        "leaks eval data into the deployed constants; prefer "
+                        "a train split for deployment numbers")
+    p.add_argument("--mesh-data", type=int, default=None,
+                   help="shard evaluation over N devices on the mesh 'data' "
+                        "axis (the reference's loop is single-GPU, "
+                        "metrics.py:654-714; a v5e-8 evaluates 8x)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel axis size for the mesh (forward "
+                        "only; combine with --mesh-data)")
     return p.parse_args(argv)
 
 
@@ -145,14 +158,36 @@ def main(argv=None):
         from yolo_tpu.serving.engine import default_impl, int8_forward
 
         folded = fold_flagship(variables)
+        if args.calib_data:
+            # Held-out calibration split: the deployed artifact's activation
+            # scales must not be fit on the eval set being measured.
+            calib_pairs = [
+                tuple(item.split(":")) for item in args.calib_data.split(",")
+            ]
+            calib_ds = create_voc_datasets(
+                calib_pairs,
+                download=args.download_data,
+                root=args.data_root,
+                augment=False,
+                normalize_host=False,
+            )
+            calib_loader = DataLoader(
+                calib_ds, batch_size=args.batch_size, shuffle=False,
+                num_workers=args.num_workers, drop_last=False,
+            )
+            calib_src = f"--calib-data {args.calib_data}"
+        else:
+            calib_loader = loader
+            calib_src = "first eval batches (pass --calib-data for held-out)"
         calib = []
-        for images, _ in loader:
+        for images, _ in calib_loader:
             images = jnp.asarray(images)
             if images.dtype == jnp.uint8:
                 images = device_normalize(images)
             calib.append(images.astype(jnp.float32))
             if len(calib) >= 2:
                 break
+        print(f"int8 calibration source: {calib_src}")
         act_max = calibrate_activations(folded, calib, dtype=jnp.bfloat16)
         q = quantize_folded(folded, act_max)
         impl = default_impl()
@@ -164,6 +199,30 @@ def main(argv=None):
         print("int8 serving engine: calibrated on"
               f" {sum(c.shape[0] for c in calib)} images")
 
+    mesh = None
+    if args.mesh_data:
+        from yolo_tpu.parallel import make_mesh
+
+        n_needed = args.mesh_data * args.mesh_model
+        devices = jax.devices()
+        if len(devices) < n_needed:
+            raise SystemExit(
+                f"--mesh-data {args.mesh_data} x --mesh-model"
+                f" {args.mesh_model} needs {n_needed} devices;"
+                f" only {len(devices)} visible"
+            )
+        if args.batch_size % args.mesh_data != 0:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by"
+                f" --mesh-data {args.mesh_data} (batches are sharded over"
+                " the mesh 'data' axis)"
+            )
+        mesh = make_mesh(
+            n_data=args.mesh_data, n_model=args.mesh_model,
+            devices=devices[:n_needed],
+        )
+        print(f"Evaluation mesh: {dict(mesh.shape)}")
+
     results = evaluate_model(
         model,
         variables,
@@ -172,6 +231,7 @@ def main(argv=None):
         conf_threshold=args.conf_threshold,
         nms_threshold=args.nms_threshold,
         forward_fn=forward_fn,
+        mesh=mesh,
     )
 
     report = format_results(results, args.num_classes, VOC_CLASSES)

@@ -48,16 +48,11 @@ def load_engine(args):
     )
 
 
-def predict_single_image(engine, image_path: Path, args, out_dir: Path):
+def report_and_save(engine, image_path: Path, detections, out_dir: Path):
+    """Console listing + annotated ``{stem}_pred{suffix}`` output for one image."""
     from yolo_tpu.data import VOC_CLASSES
     from yolo_tpu.utils.visualization import draw_detections
 
-    detections = engine.predict(
-        str(image_path),
-        conf_threshold=args.conf_threshold,
-        nms_threshold=args.nms_threshold,
-        class_names=VOC_CLASSES,
-    )
     print(f"\n{image_path}: {len(detections)} objects")
     for det in detections:
         print(f"  {det.class_name}: {det.confidence:.2%} at {det.bbox}")
@@ -69,6 +64,18 @@ def predict_single_image(engine, image_path: Path, args, out_dir: Path):
     annotated.save(out_path)
     print(f"  saved -> {out_path}")
     return detections
+
+
+def predict_single_image(engine, image_path: Path, args, out_dir: Path):
+    from yolo_tpu.data import VOC_CLASSES
+
+    detections = engine.predict(
+        str(image_path),
+        conf_threshold=args.conf_threshold,
+        nms_threshold=args.nms_threshold,
+        class_names=VOC_CLASSES,
+    )
+    return report_and_save(engine, image_path, detections, out_dir)
 
 
 def main(argv=None):
@@ -96,9 +103,21 @@ def main(argv=None):
     if not paths:
         print(f"No images found in {image_dir}")
         return
+    # Directory prediction is batched: one jitted forward per chunk of 16
+    # files instead of a graph call per file (the framework's throughput
+    # path, yolo_tpu/inference.py::predict_batch_files). With --int8 this
+    # also calibrates activation scales on the first chunk of REAL images.
+    from yolo_tpu.data import VOC_CLASSES
+
+    all_dets = engine.predict_batch_files(
+        [str(p) for p in paths],
+        conf_threshold=args.conf_threshold,
+        nms_threshold=args.nms_threshold,
+        class_names=VOC_CLASSES,
+    )
     total = 0
-    for path in paths:
-        dets = predict_single_image(engine, path, args, out_dir)
+    for path, dets in zip(paths, all_dets):
+        report_and_save(engine, path, dets, out_dir)
         total += len(dets)
     print(
         f"\nProcessed {len(paths)} images, {total} detections "

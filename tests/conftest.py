@@ -30,7 +30,24 @@ import jax
 # jax captures JAX_PLATFORMS into jax.config at import time. Updating the
 # config directly works as long as no backend has initialized yet.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+# Machine-keyed cache dir: XLA:CPU persists AOT machine code, and a blob
+# compiled on a host with different CPU features SIGILLs/errors when loaded
+# (killed the round-2 multichip gate). Load the helper by file path to avoid
+# importing the full package (matplotlib etc.) at conftest time.
+import importlib.util
+
+_spec = importlib.util.spec_from_file_location(
+    "_yolo_tpu_platform",
+    os.path.join(os.path.dirname(__file__), "..", "yolo_tpu", "utils",
+                 "platform.py"),
+)
+_platform_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_platform_mod)
+
+jax.config.update(
+    "jax_compilation_cache_dir", _platform_mod.machine_cache_dir("/tmp/jax_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

@@ -119,6 +119,31 @@ def test_batched_device_path(engine):
     assert dets.valid.shape == (4, 98)
 
 
+def test_predict_batch_files_matches_per_file(engine, tmp_path):
+    """Chunked directory prediction == per-file predict (reference
+    src/predict.py:128-186 loops files; here N files -> ceil(N/B) forwards)."""
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(5):
+        arr = rng.integers(0, 256, (448, 448, 3), dtype=np.uint8)
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+
+    batched = engine.predict_batch_files(
+        paths, conf_threshold=0.0, nms_threshold=0.4, batch_size=2
+    )
+    assert len(batched) == 5
+    for path, dets in zip(paths, batched):
+        single = engine.predict(path, conf_threshold=0.0, nms_threshold=0.4)
+        assert len(dets) == len(single)
+        for a, b in zip(dets, single):
+            assert a.class_id == b.class_id
+            assert a.confidence == pytest.approx(b.confidence, abs=1e-5)
+            assert a.bbox.x == pytest.approx(b.bbox.x, abs=1e-5)
+            assert a.bbox.y == pytest.approx(b.bbox.y, abs=1e-5)
+
+
 def test_schema_validation():
     with pytest.raises(Exception):
         BoundingBox(x=1.5, y=0.5, width=0.2, height=0.2)

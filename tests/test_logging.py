@@ -9,7 +9,11 @@ reference's torch ``SummaryWriter.add_hparams`` produces.
 import glob
 import json
 
-from yolo_tpu.training.logging import MetricWriter, log_batch_metrics
+from yolo_tpu.training.logging import (
+    MetricWriter,
+    log_batch_metrics,
+    log_epoch_metrics,
+)
 
 
 def test_scalars_and_jsonl_mirror(tmp_path):
@@ -24,6 +28,38 @@ def test_scalars_and_jsonl_mirror(tmp_path):
     assert tags["batch/loss_total"]["value"] == 3.0
     assert tags["batch/loss_total"]["step"] == 15  # (2-1)*10+5
     assert glob.glob(str(tmp_path / "events.out.tfevents.*"))
+
+
+def test_epoch_tags_match_reference_layout(tmp_path):
+    """Tag-for-tag parity with the reference's epoch scalar layout
+    (reference src/yolo/training/logging.py:202-238)."""
+    loss = {"total": 3.0, "coord": 1.0, "conf_obj": 0.5, "conf_noobj": 0.4,
+            "class": 1.1}
+    val = dict(loss)
+    val.update({
+        "mAP50:95": 0.21, "mAP50": 0.43, "mAP75": 0.14,
+        "precision": 0.17, "recall": 0.52,
+        "mAP50:95_small": 0.08, "mAP50:95_medium": 0.09,
+        "mAP50:95_large": 0.26,
+        # extra evaluator keys the reference does NOT log per epoch:
+        "mAP50_small": 0.08, "AP50_class_0": 0.7,
+    })
+    w = MetricWriter(tmp_path)
+    log_epoch_metrics(w, loss, val, learning_rate=1e-4, epoch=3)
+    w.close()
+
+    recs = [json.loads(x) for x in (tmp_path / "metrics.jsonl").read_text()
+            .splitlines()]
+    tags = {rec["tag"] for rec in recs if "tag" in rec}
+    expected = (
+        {f"epoch/train_loss_{k}" for k in loss}
+        | {f"epoch/val_loss_{k}" for k in loss}
+        | {"epoch/learning_rate", "epoch/mAP50:95", "epoch/mAP50",
+           "epoch/mAP75", "epoch/precision", "epoch/recall",
+           "epoch/mAP50:95_small", "epoch/mAP50:95_medium",
+           "epoch/mAP50:95_large"}
+    )
+    assert tags == expected
 
 
 def test_add_hparams_writes_plugin_protos(tmp_path):

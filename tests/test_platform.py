@@ -55,3 +55,37 @@ def test_existing_user_setting_wins():
         })
     assert flags.count("collective_call_terminate") == 1
     assert "=77" in flags
+
+
+def test_partial_user_setting_fills_only_the_missing_flag():
+    """ADVICE r2 #4: a user who pre-set only ONE flag of the pair must keep
+    their value AND get the other appended exactly once."""
+    with mock.patch("os.cpu_count", return_value=1):
+        flags = _flags_after({
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=8 "
+                         "--xla_cpu_collective_call_warn_stuck_timeout_seconds=9",
+        })
+    assert flags.count("collective_call_warn_stuck") == 1
+    assert "warn_stuck_timeout_seconds=9" in flags
+    assert flags.count("collective_call_terminate") == 1
+
+
+def test_machine_cache_dir_is_stable_and_keyed():
+    """XLA:CPU AOT blobs are machine-code; the cache dir must differ across
+    CPU types but be deterministic on one host (r2 multichip-gate fix)."""
+    a = platform.machine_cache_dir("/tmp/base")
+    b = platform.machine_cache_dir("/tmp/base/")
+    assert a == b
+    assert a.startswith("/tmp/base-")
+    suffix = a.rsplit("-", 1)[1]
+    assert len(suffix) == 12 and all(c in "0123456789abcdef" for c in suffix)
+
+
+def test_append_flag_once():
+    f = platform._append_flag_once("", "--x=1")
+    assert f == "--x=1"
+    f = platform._append_flag_once(f, "--x=2")
+    assert f == "--x=1"
+    f = platform._append_flag_once(f, "--y=3")
+    assert f == "--x=1 --y=3"

@@ -183,6 +183,30 @@ def test_int8_engine_with_pallas_impl_matches_xla(small_flagship):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_int8_engine_honors_nms_fn(small_flagship):
+    """nms_impl='pallas' + optimize='int8' is honored: build_int8_predict
+    threads nms_fn into the serving graph, and pallas == xla detections."""
+    from functools import partial
+
+    from yolo_tpu.ops.pallas_nms import pallas_nms
+    from yolo_tpu.serving import build_int8_predict
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(20), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(21), (2, 64, 64, 3))
+
+    fn_xla, q = build_int8_predict(model, variables, calib)
+    fn_pallas, q2 = build_int8_predict(
+        model, variables, calib, nms_fn=partial(pallas_nms, interpret=True)
+    )
+    want = fn_xla(q, images, 0.01, 0.4)
+    got = fn_pallas(q2, images, 0.01, 0.4)
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=0, atol=0
+    )
+
+
 def test_pallas_chain_padded_width_matches_xla():
     """Chain kernel on a W % 8 != 0 stage (padded path), incl. ds block."""
     from yolo_tpu.serving.engine import _block_xla

@@ -31,7 +31,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_yolo_tpu")
+    from yolo_tpu.utils.platform import machine_cache_dir
+
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_cache_yolo_tpu")
+    )
 
     from yolo_tpu.ops.decode import decode_predictions
     from yolo_tpu.ops.nms import batched_nms

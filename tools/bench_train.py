@@ -27,7 +27,11 @@ def bench_step(batch: int, remat=False) -> None:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_yolo_tpu")
+    from yolo_tpu.utils.platform import machine_cache_dir
+
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_cache_yolo_tpu")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from yolo_tpu.models import ResNetBackbone, YOLOv1

@@ -61,7 +61,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_yolo_tpu")
+    from yolo_tpu.utils.platform import machine_cache_dir
+
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_cache_yolo_tpu")
+    )
 
     from yolo_tpu.inference import YOLOInference
     from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model

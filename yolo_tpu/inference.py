@@ -72,8 +72,10 @@ class YOLOInference:
             HBM-bound stages. ~2x throughput; accuracy gated by
             tools/quant_accuracy.py.
         calibration: optional iterable of normalized image batches for int8
-            activation calibration (defaults to synthetic normal batches,
-            adequate for scale estimation; pass real data for best accuracy).
+            activation calibration. When omitted, the engine calibrates
+            lazily on the first batch passed to predict — real data, so
+            activation scales match the deployment distribution (synthetic
+            noise can under-estimate real maxima and silently clip).
 
     Example:
         >>> engine = YOLOInference(model, variables)
@@ -97,7 +99,9 @@ class YOLOInference:
             _nms = batched_nms
 
         if optimize == "int8":
-            self._predict_batch = self._build_int8(model, variables, calibration)
+            self._predict_batch = self._build_int8(
+                model, variables, calibration, _nms
+            )
             return
 
         # Variables are an explicit jit argument: closing over them would bake
@@ -119,21 +123,33 @@ class YOLOInference:
             self.variables, images, conf, nms
         )
 
-    def _build_int8(self, model, variables, calibration):
+    def _build_int8(self, model, variables, calibration, nms_fn):
         from yolo_tpu.serving import build_int8_predict
         from yolo_tpu.serving.engine import default_impl
 
-        if calibration is None:
-            calibration = [
-                jax.random.normal(
-                    jax.random.PRNGKey(0),
-                    (8, self.image_size, self.image_size, 3),
+        if calibration is not None:
+            predict, q = build_int8_predict(
+                model, variables, calibration, impl=default_impl(),
+                nms_fn=nms_fn,
+            )
+            return lambda images, conf, nms: predict(q, images, conf, nms)
+
+        # No calibration data given: calibrate LAZILY on the first real batch
+        # the caller predicts. Real-image activation maxima can exceed
+        # synthetic-noise-derived scales (silent clipping on real
+        # checkpoints), so deferring to genuine data beats a noise default;
+        # the engine build just moves to the first predict call.
+        state: dict = {}
+
+        def lazy_predict(images, conf, nms):
+            if "fn" not in state:
+                state["fn"], state["q"] = build_int8_predict(
+                    model, variables, [jnp.asarray(images, jnp.float32)],
+                    impl=default_impl(), nms_fn=nms_fn,
                 )
-            ]
-        predict, q = build_int8_predict(
-            model, variables, calibration, impl=default_impl()
-        )
-        return lambda images, conf, nms: predict(q, images, conf, nms)
+            return state["fn"](state["q"], images, conf, nms)
+
+        return lazy_predict
 
     # ------------------------------------------------------------------- images
     def load_image(self, image_path: str) -> Image.Image:
@@ -174,6 +190,47 @@ class YOLOInference:
         until the caller consumes the result.
         """
         return self._predict_batch(images, conf_threshold, nms_threshold)
+
+    def predict_batch_files(
+        self,
+        image_paths: Sequence[str],
+        conf_threshold: float = 0.5,
+        nms_threshold: float = 0.4,
+        class_names: Optional[Sequence[str]] = None,
+        batch_size: int = 16,
+    ) -> List[List["Detection"]]:
+        """Detect objects in many image files with chunked jitted forwards.
+
+        The TPU-native replacement for the reference's per-file loop
+        (src/predict.py:128-186): N files run in ceil(N/batch_size) jitted
+        forward+decode+NMS calls instead of N single-image graphs. Partial
+        final chunks are zero-padded to ``batch_size`` so every call reuses
+        ONE compiled executable. Per-image results are identical to calling
+        ``predict`` on each file.
+        """
+        results: List[List] = []
+        for start in range(0, len(image_paths), batch_size):
+            chunk = image_paths[start:start + batch_size]
+            arrays = [
+                eval_transform(
+                    np.asarray(self.load_image(str(p)).convert("RGB")),
+                    (self.image_size, self.image_size),
+                )
+                for p in chunk
+            ]
+            n = len(arrays)
+            if n < batch_size:
+                arrays.extend(
+                    [np.zeros_like(arrays[0])] * (batch_size - n)
+                )
+            batch = jnp.asarray(np.stack(arrays))
+            dets = jax.device_get(
+                self._predict_batch(batch, conf_threshold, nms_threshold)
+            )
+            results.extend(
+                self._to_detections(dets, i, class_names) for i in range(n)
+            )
+        return results
 
     def parse_predictions(
         self,

@@ -189,6 +189,20 @@ class mAPMetric:
             # platform only): fall back to the f32 on-device path. Parity
             # checks always run with a CPU backend available.
             cpu = None
+        if self.precise and cpu is None and not getattr(
+            self, "_warned_no_cpu", False
+        ):
+            import warnings
+
+            self._warned_no_cpu = True
+            warnings.warn(
+                "mAPMetric(precise=True) requested but no CPU backend is "
+                "registered; falling back to the on-device f32 path — "
+                "results may differ from the f64 reference at AP tie "
+                "boundaries.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         if self.precise and cpu is not None:
             # Host numpy f64 inputs placed on the CPU backend; jit follows the
             # data, so the whole decode/NMS/match graph runs there in native

@@ -185,11 +185,17 @@ def default_impl() -> Dict:
     return {}
 
 
-def make_int8_engine_fn(S: int, B: int, num_classes: int, impl: Dict | None = None):
+def make_int8_engine_fn(
+    S: int, B: int, num_classes: int, impl: Dict | None = None, nms_fn=None
+):
     """Jitted (q_params, images, conf, nms) -> Detections serving function.
 
     q_params is a jit argument (weights are NOT baked into the executable).
+    ``nms_fn`` selects the NMS implementation (default ops.nms.batched_nms;
+    pass ops.pallas_nms.pallas_nms for the fused kernel — both implement
+    identical greedy semantics).
     """
+    nms_fn = nms_fn or batched_nms
 
     @partial(jax.jit, static_argnames=("conf_threshold", "nms_threshold"))
     def _predict(q, images, conf_threshold, nms_threshold):
@@ -197,12 +203,13 @@ def make_int8_engine_fn(S: int, B: int, num_classes: int, impl: Dict | None = No
         dets = decode_predictions(
             preds.astype(jnp.float32), S, B, num_classes, conf_threshold
         )
-        return batched_nms(dets, nms_threshold)
+        return nms_fn(dets, nms_threshold)
 
     return _predict
 
 
-def build_int8_predict(model, variables, calibration_images, impl=None):
+def build_int8_predict(model, variables, calibration_images, impl=None,
+                       nms_fn=None):
     """One-stop build: fold -> calibrate -> quantize -> jitted predict fn.
 
     ``calibration_images``: iterable of (n, H, W, 3) normalized image batches
@@ -217,5 +224,6 @@ def build_int8_predict(model, variables, calibration_images, impl=None):
     act_max = calibrate_activations(folded, calibration_images,
                                     dtype=jnp.bfloat16)
     q = quantize_folded(folded, act_max)
-    fn = make_int8_engine_fn(model.S, model.B, model.num_classes, impl=impl)
+    fn = make_int8_engine_fn(model.S, model.B, model.num_classes, impl=impl,
+                             nms_fn=nms_fn)
     return fn, q

@@ -196,17 +196,37 @@ def log_epoch_metrics(
     learning_rate: float,
     epoch: int,
 ) -> None:
-    """Per-epoch scalars incl. mAP/size metrics (reference logging.py:181-238)."""
+    """Per-epoch scalars incl. mAP/size metrics (reference logging.py:181-238).
+
+    Tag-for-tag parity with the reference's epoch scalar layout
+    (``epoch/train_loss_*``, ``epoch/val_loss_*``, ``epoch/learning_rate``,
+    ``epoch/mAP*`` + size variants), so TB runs diff cleanly against a
+    reference run.
+    """
     if writer is None:
         return
-    for key, value in train_losses.items():
-        writer.add_scalar(f"train/loss_{key}", float(value), epoch)
-    for key, value in val_losses.items():
-        if key.startswith("mAP") or key in ("precision", "recall"):
-            writer.add_scalar(f"val/{key}", float(value), epoch)
-        else:
-            writer.add_scalar(f"val/loss_{key}", float(value), epoch)
-    writer.add_scalar("train/learning_rate", float(learning_rate), epoch)
+    loss_keys = ("total", "coord", "conf_obj", "conf_noobj", "class")
+    for key in loss_keys:
+        if key in train_losses:
+            writer.add_scalar(
+                f"epoch/train_loss_{key}", float(train_losses[key]), epoch
+            )
+    for key in loss_keys:
+        if key in val_losses:
+            writer.add_scalar(
+                f"epoch/val_loss_{key}", float(val_losses[key]), epoch
+            )
+    writer.add_scalar("epoch/learning_rate", float(learning_rate), epoch)
+    if "mAP50:95" in val_losses:
+        for key in ("mAP50:95", "mAP50", "mAP75", "precision", "recall"):
+            writer.add_scalar(f"epoch/{key}", float(val_losses[key]), epoch)
+        for size in ("small", "medium", "large"):
+            if f"mAP50:95_{size}" in val_losses:
+                writer.add_scalar(
+                    f"epoch/mAP50:95_{size}",
+                    float(val_losses[f"mAP50:95_{size}"]),
+                    epoch,
+                )
 
 
 def log_hyperparameters(

@@ -10,7 +10,46 @@ really runs on CPU).
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform as _platform
+
+
+def machine_fingerprint() -> str:
+    """Short stable hash of this host's CPU microarchitecture.
+
+    XLA:CPU's persistent cache stores AOT-compiled machine code keyed only by
+    the HLO — a blob compiled on an AVX-512 host is happily loaded on a host
+    without those features and dies with "Target machine feature ... is not
+    supported on the host machine" (observed killing the round-2 multichip
+    gate when /tmp/jax_cache survived across heterogeneous fleet hosts).
+    Keying every cache directory by this fingerprint makes caches hermetic
+    per machine type while staying warm across runs on the same machine.
+    """
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{_platform.machine()}|{feats}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:12]
+
+
+def machine_cache_dir(base: str) -> str:
+    """Machine-keyed compilation-cache path: ``{base}-{fingerprint}``."""
+    return f"{base.rstrip('/')}-{machine_fingerprint()}"
+
+
+def _append_flag_once(flags: str, flag: str) -> str:
+    """Append ``flag`` ('--name=value') unless --name is already present."""
+    name = flag.split("=", 1)[0]
+    if name in flags:
+        return flags
+    return f"{flags} {flag}".strip()
 
 
 def respect_jax_platforms_env() -> None:
@@ -30,21 +69,24 @@ def respect_jax_platforms_env() -> None:
     if not value:
         return
     flags = os.environ.get("XLA_FLAGS", "")
-    if (
-        "cpu" in value
-        and "xla_force_host_platform_device_count" in flags
-        and "collective_call_terminate" not in flags
-    ):
+    if "cpu" in value and "xla_force_host_platform_device_count" in flags:
         try:
             n_dev = int(flags.split("xla_force_host_platform_device_count=")[1]
                         .split()[0])
         except (IndexError, ValueError):
             n_dev = 0
         if (os.cpu_count() or 1) < n_dev:
-            os.environ["XLA_FLAGS"] = flags + (
-                " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
-                " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+            # Guard each flag individually: a user who pre-set only one of
+            # the pair must not get it appended again with another value.
+            flags = _append_flag_once(
+                flags,
+                "--xla_cpu_collective_call_warn_stuck_timeout_seconds=300",
             )
+            flags = _append_flag_once(
+                flags,
+                "--xla_cpu_collective_call_terminate_timeout_seconds=1200",
+            )
+            os.environ["XLA_FLAGS"] = flags
     import jax
 
     try:
@@ -64,7 +106,9 @@ def setup_compilation_cache(path: str | None = None) -> None:
 
     cache_dir = path or os.environ.get(
         "YOLO_TPU_XLA_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "yolo_tpu_xla"),
+        machine_cache_dir(
+            os.path.join(os.path.expanduser("~"), ".cache", "yolo_tpu_xla")
+        ),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
