@@ -157,6 +157,44 @@ def test_s2d_stem_bit_identical(small_flagship):
     np.testing.assert_array_equal(np.asarray(out_s2d), np.asarray(out_direct))
 
 
+def test_conv3x3_retile_matches_direct():
+    """Batch-folded tiled conv == direct conv, bit-for-bit (integer math).
+
+    The retile path exists because XLA's int8 conv runs ~2.5x faster on
+    (4N, 30, 30, C) valid tiles than on (N, 56, 56, C) — see
+    engine._conv3x3_retile_rq."""
+    from yolo_tpu.serving.engine import _conv3x3_retile_rq, _conv_i8, _requant
+
+    key = jax.random.PRNGKey(11)
+    x = jax.random.randint(key, (3, 16, 16, 32), -127, 127, jnp.int8)
+    w = jax.random.randint(key, (3, 3, 32, 48), -127, 127, jnp.int8)
+    qc = {
+        "wq": w,
+        "m": jax.random.uniform(key, (48,), jnp.float32, 1e-4, 1e-2),
+        "t": jax.random.uniform(key, (48,), jnp.float32, -0.5, 0.5),
+    }
+    want = _requant(_conv_i8(x, w, stride=1, pad=1), qc["m"], qc["t"])
+    for tiles in (2, 4):
+        got = _conv3x3_retile_rq(x, qc, tiles)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_engine_retile_impl_matches_default(small_flagship):
+    """conv2_tiles impl == default engine output exactly (incl. the stride-2
+    guard: layer2's only block here is its transition, which must stay on
+    the direct path)."""
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(30), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(31), (2, 64, 64, 3))
+    _, q = build_int8_predict(model, variables, calib)
+    want = int8_forward(q, images, S=model.S)
+    got = int8_forward(
+        q, images, S=model.S,
+        impl={"conv2_tiles": {"layer1": 2, "layer2": 2}},
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_int8_engine_with_pallas_impl_matches_xla(small_flagship):
     """Whole int8 forward with Pallas chain kernels == pure-XLA engine.
 

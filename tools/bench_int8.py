@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--pallas-stages", default="1,2,3",
                     help="stages whose identity blocks use the fused kernel")
     ap.add_argument("--tile-rows", type=int, default=None)
+    ap.add_argument("--retile-spec", default="layer2:2",
+                    help="stage:tiles list for the retile variant, e.g. "
+                         "'layer2:2,layer3:2'")
     args = ap.parse_args()
 
     from yolo_tpu.utils.platform import respect_jax_platforms_env
@@ -70,6 +73,16 @@ def main():
         t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
                            iters=args.iters, tag="int8")
         results["int8"] = t
+
+    if "retile" in variants:
+        impl = {"conv2_tiles": {
+            s.split(":")[0]: int(s.split(":")[1])
+            for s in args.retile_spec.split(",")
+        }}
+        predict, q = build_int8_predict(model, variables, calib, impl=impl)
+        t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                           iters=args.iters, tag="int8rt")
+        results[f"int8+retile({args.retile_spec})"] = t
 
     if "pallas" in variants:
         from yolo_tpu.serving.pallas_int8 import chain_pallas

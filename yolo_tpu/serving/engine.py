@@ -68,28 +68,68 @@ def _dot_1x1_i8(x_q, w_q):
     return acc.reshape(n, h, w, -1)
 
 
-def _block_xla(x_q, qb, stride=1):
+def _conv3x3_retile_rq(x_q, qc, tiles: int):
+    """3x3/s1/p1 int8 conv + requant, computed as tiles^2 overlapping VALID
+    tiles folded into the batch dim.
+
+    XLA's int8 conv throughput is strongly shape-dependent on v5e: measured
+    387 TOPS at 28^2/14^2 with >=128 channels but only 115 TOPS at
+    56^2 x 128 (layer2's conv2) — while the SAME math on (4N, 30, 30, 128)
+    valid tiles runs at 287 TOPS. Tiling pads the image once, gathers the
+    2-pixel-halo tiles (pure integer data movement), convolves valid, and
+    requants BEFORE reassembly so the relayout moves int8, not the s32
+    accumulator. Bit-identical to the direct conv (same taps, same integer
+    accumulation order per output).
+    """
+    n, h, w, c = x_q.shape
+    th = h // tiles
+    xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    parts = [
+        xp[:, i * th : i * th + th + 2, j * th : j * th + th + 2, :]
+        for i in range(tiles)
+        for j in range(tiles)
+    ]
+    xt = jnp.concatenate(parts, axis=0)  # (tiles^2 * n, th+2, th+2, c)
+    acc = lax.conv_general_dilated(
+        xt, qc["wq"], (1, 1), [(0, 0)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = _requant(acc, qc["m"], qc["t"])
+    rows = [
+        jnp.concatenate([y[(i * tiles + j) * n : (i * tiles + j + 1) * n]
+                         for j in range(tiles)], axis=2)
+        for i in range(tiles)
+    ]
+    return jnp.concatenate(rows, axis=1)
+
+
+def _block_xla(x_q, qb, stride=1, conv2_tiles: int = 0):
     """One bottleneck block: int8 dots (1x1) + int8 conv (3x3), fused requants."""
     acc = _dot_1x1_i8(x_q, qb["conv1"]["wq"])
     y1 = _requant(acc, qb["conv1"]["m"], qb["conv1"]["t"])
-    acc = _conv_i8(y1, qb["conv2"]["wq"], stride=stride, pad=1)
-    y2 = _requant(acc, qb["conv2"]["m"], qb["conv2"]["t"])
+    if conv2_tiles and stride == 1:
+        y2 = _conv3x3_retile_rq(y1, qb["conv2"], conv2_tiles)
+    else:
+        acc = _conv_i8(y1, qb["conv2"]["wq"], stride=stride, pad=1)
+        y2 = _requant(acc, qb["conv2"]["m"], qb["conv2"]["t"])
     acc = _dot_1x1_i8(y2, qb["conv3"]["wq"])
     if qb["downsample"] is not None:
-        # Requantize the downsample branch to int8 (output scale) on its own:
-        # a two-dot epilogue defeats XLA's fusion (profiled: the conv3 chain
-        # spills a 4-byte/elem accumulator to HBM, ~11 ms/iter at layer1
-        # b256), while two single-chain dot+requant fusions stay on-chip.
-        # Costs one extra rounding on the residual branch (<=0.5 LSB, covered
-        # by tools/quant_accuracy.py); identity blocks are untouched.
+        # Requantize the downsample branch to int8 on its own (a two-dot
+        # epilogue defeats XLA's fusion — profiled: the conv3 chain spills a
+        # 4-byte/elem accumulator to HBM, ~11 ms/iter at layer1 b256 — while
+        # two single-chain dot+requant fusions stay on-chip). The branch
+        # carries its OWN calibrated scale (quant.py): at the output scale it
+        # can exceed +-127 pre-add, and round 2's int16-at-output-scale
+        # answer cost 2 B/elem of spill (2.9 ms at layer1 alone @b256). The
+        # conv3 epilogue rescales by s_ds/s_out when adding. Extra rounding
+        # on the branch (<= 0.5 LSB at s_ds) is covered by
+        # tools/quant_accuracy.py; identity blocks are untouched.
         xs = x_q[:, ::stride, ::stride, :] if stride > 1 else x_q
         dacc = _dot_1x1_i8(xs, qb["downsample"]["wq"])
-        # int16 at the output scale: the branch alone can exceed the post-relu
-        # calibrated range (the sum pulls it back), so +-127 would saturate;
-        # +-32767 cannot in practice, and 2 B/elem still halves the spill.
         dsf = dacc.astype(jnp.float32) * qb["downsample"]["m"] + qb["downsample"]["t"]
-        ds_q = jnp.clip(jnp.round(dsf), -32767, 32767).astype(jnp.int16)
-        extra = ds_q.astype(jnp.float32)
+        ds_q = jnp.clip(jnp.round(dsf), -127, 127).astype(jnp.int8)
+        extra = ds_q.astype(jnp.float32) * qb["ds_rescale"]
     else:
         extra = x_q.astype(jnp.float32) * qb["rx"]
     return _requant(acc, qb["conv3"]["m"], qb["conv3"]["t"], extra=extra)
@@ -129,9 +169,10 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
         # transition (downsample included) is part of the chain.
         chain_fn = impl.get(f"layer{si + 1}", None)
         if chain_fn is None:
+            tiles = impl.get("conv2_tiles", {}).get(f"layer{si + 1}", 0)
             for bi, qb in enumerate(blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
-                x_q = _block_xla(x_q, qb, stride)
+                x_q = _block_xla(x_q, qb, stride, conv2_tiles=tiles)
             continue
         start = 0
         if si > 0:

@@ -157,6 +157,10 @@ def folded_forward(folded: Dict, images, dtype=jnp.float32, stats=None, S=7):
                     _conv(x, blk["downsample"]["w"], stride, 0, dtype)
                     + blk["downsample"]["b"]
                 )
+                # Pre-add branch maximum: the int8 engine quantizes the
+                # downsample branch at its OWN scale (engine._block_xla), so
+                # calibration needs the branch's range, not just the sum's.
+                record(f"{tag}_ds", identity)
             x = relu(y + identity.astype(y.dtype), 0.0)
             record(f"{tag}_out", x)
 

@@ -260,9 +260,9 @@ def _chain_kernel(
     refs = [per-block params...] + [out_ref] + [xin?, xa, xb, y1p] scratch.
     Per-block params: w1 (Cin, P), w2 (3, 3, P, P), w3 (P, C), m1, t1, m2,
     t2, m3, t3 (vectors, (1, P)/(1, C)) and, for the first block when
-    ``ds0``, wd (CIN, C), md, td; otherwise rx (1,) in SMEM.
+    ``ds0``, wd (CIN, C), md, td, rd (1,); otherwise rx (1,) in SMEM.
     """
-    n_per = 9 + (3 if ds0 else 1)
+    n_per = 9 + (4 if ds0 else 1)
     n_rest = 10
     n_params = n_per + (NB - 1) * n_rest
     params = refs[:n_params]
@@ -286,7 +286,7 @@ def _chain_kernel(
         if b == 0:
             w1, w2, w3, m1, t1, m2, t2, m3, t3 = params[off:off + 9]
             if ds0:
-                wd, md, td = params[off + 9:off + 12]
+                wd, md, td, rd = params[off + 9:off + 13]
                 rx = None
             else:
                 rx = params[off + 9]
@@ -332,9 +332,10 @@ def _chain_kernel(
                     preferred_element_type=jnp.int32,
                 )
                 dsf = ad.astype(jnp.float32) * md[...] + td[...]
-                # Match serving.engine._block_xla's int16 branch rounding so
-                # Pallas and XLA paths stay bit-identical.
-                extra = jnp.clip(jnp.round(dsf), -32767, 32767)
+                # Match serving.engine._block_xla's own-scale int8 branch
+                # rounding + s_ds/s_out rescale so Pallas and XLA paths stay
+                # bit-identical.
+                extra = jnp.clip(jnp.round(dsf), -127, 127) * rd[0]
             else:
                 extra = res.astype(jnp.float32) * rx[0]
             out = _rq_i8(a3, m3[...], t3[...], extra=extra)
@@ -387,6 +388,7 @@ def fused_identity_chain_int8(x_q, qblocks, interpret: bool = False,
                 qb["downsample"]["wq"].reshape(cin, C),
                 qb["downsample"]["m"].reshape(1, C),
                 qb["downsample"]["t"].reshape(1, C),
+                qb["ds_rescale"].reshape(1),
             ]
         else:
             flat += [qb["rx"].reshape(1)]
@@ -404,7 +406,7 @@ def fused_identity_chain_int8(x_q, qblocks, interpret: bool = False,
     for b in range(NB):
         in_specs += [vmem] * 9
         if b == 0 and ds0:
-            in_specs += [vmem] * 3
+            in_specs += [vmem] * 3 + [smem]  # wd, md, td + rd scalar
         else:
             in_specs += [smem]
     scratch = []

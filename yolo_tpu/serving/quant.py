@@ -23,13 +23,15 @@ import jax.numpy as jnp
 from yolo_tpu.serving.fold import folded_forward
 
 # Flagship activation quantization points (ResNet50 [3,4,6,3] + 4 head convs).
+# Transition blocks (block 0 of every stage) add a ``_ds`` point: the
+# downsample branch is quantized at its own scale (see quantize_folded).
 ACT_POINTS: List[str] = (
     ["input", "stem"]
     + [
         f"l{s + 1}b{b}_{p}"
         for s, n in enumerate((3, 4, 6, 3))
         for b in range(n)
-        for p in ("y1", "y2", "out")
+        for p in (("y1", "y2", "ds", "out") if b == 0 else ("y1", "y2", "out"))
     ]
     + [f"head_conv{i}" for i in (1, 2, 3, 4)]
 )
@@ -39,8 +41,10 @@ def act_points(folded: Dict) -> List[str]:
     """Quantization-point names for an arbitrary folded struct."""
     pts = ["input", "stem"]
     for si, blocks in enumerate(folded["layers"]):
-        for bi in range(len(blocks)):
-            pts += [f"l{si + 1}b{bi}_{p}" for p in ("y1", "y2", "out")]
+        for bi, blk in enumerate(blocks):
+            names = ("y1", "y2", "ds", "out") if blk["downsample"] is not None \
+                else ("y1", "y2", "out")
+            pts += [f"l{si + 1}b{bi}_{p}" for p in names]
     pts += [f"head_conv{i}" for i in (1, 2, 3, 4)]
     return pts
 
@@ -142,10 +146,18 @@ def quantize_folded(
             qb["conv3"] = _layer(blk["conv3"]["w"], blk["conv3"]["b"],
                                  s[f"{tag}_y2"], s[f"{tag}_out"])
             if blk["downsample"] is not None:
+                # The branch gets its OWN calibrated scale and lands in int8:
+                # at the output scale it can exceed +-127 pre-add (the sum
+                # pulls it back), and the round-2 int16-at-output-scale fix
+                # cost 2 B/elem of HBM spill on every transition (profiled
+                # 2.9 ms at layer1 alone @b256). The epilogue rescales by
+                # s_ds/s_out when adding (engine._block_xla).
+                s_ds = s[f"{tag}_ds"]
                 qb["downsample"] = _layer(
                     blk["downsample"]["w"], blk["downsample"]["b"],
-                    s_in, s[f"{tag}_out"],
+                    s_in, s_ds,
                 )
+                qb["ds_rescale"] = jnp.float32(s_ds / s[f"{tag}_out"])
                 qb["rx"] = None
             else:
                 qb["downsample"] = None
