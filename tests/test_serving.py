@@ -195,6 +195,45 @@ def test_int8_engine_retile_impl_matches_default(small_flagship):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_transition_conv2_kernel_bit_exact():
+    """Dense-dot stride-2 conv2 kernel == lax conv + requant, bit-for-bit.
+
+    Covers both flagship transition geometries' structure (C multiple of
+    128 required by the kernel; here C=128 at two sizes)."""
+    from yolo_tpu.serving.engine import _conv_i8, _requant
+    from yolo_tpu.serving.pallas_int8 import transition_conv2_int8
+
+    key = jax.random.PRNGKey(40)
+    for n, h, c in ((2, 16, 128), (1, 8, 256)):
+        k1, k2, k3, k4 = jax.random.split(jax.random.fold_in(key, h), 4)
+        x = jax.random.randint(k1, (n, h, h, c), -127, 128, jnp.int8)
+        w = jax.random.randint(k2, (3, 3, c, c), -127, 128, jnp.int8)
+        m = jax.random.uniform(k3, (c,), jnp.float32, 1e-4, 1e-2)
+        t = jax.random.uniform(k4, (c,), jnp.float32, -0.5, 0.5)
+        want = _requant(_conv_i8(x, w, stride=2, pad=1), m, t)
+        got = transition_conv2_int8(x, w, m, t, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_engine_with_transition_conv2_impl_matches_default(small_flagship):
+    """Engine with the Pallas transition-conv2 kernel == default engine."""
+    from functools import partial
+
+    from yolo_tpu.serving.pallas_int8 import transition_conv2_pallas
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(41), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(42), (2, 64, 64, 3))
+    _, q = build_int8_predict(model, variables, calib)
+    want = int8_forward(q, images, S=model.S)
+    t2 = partial(transition_conv2_pallas, interpret=True)
+    got = int8_forward(
+        q, images, S=model.S,
+        impl={"transition_conv2": {"layer2": t2, "layer3": t2}},
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_int8_engine_with_pallas_impl_matches_xla(small_flagship):
     """Whole int8 forward with Pallas chain kernels == pure-XLA engine.
 

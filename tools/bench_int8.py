@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--pallas-stages", default="1,2,3",
                     help="stages whose identity blocks use the fused kernel")
     ap.add_argument("--tile-rows", type=int, default=None)
+    ap.add_argument("--t2-stages", default="2;3;2,3",
+                    help="';'-separated stage lists for the Pallas "
+                         "transition-conv2 variant, e.g. '2;3;2,3'")
     ap.add_argument("--retile-spec", default="layer2:2",
                     help="stage:tiles list for the retile variant, e.g. "
                          "'layer2:2,layer3:2'")
@@ -83,6 +86,26 @@ def main():
         t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
                            iters=args.iters, tag="int8rt")
         results[f"int8+retile({args.retile_spec})"] = t
+
+    if "stem-direct" in variants:
+        predict, q = build_int8_predict(model, variables, calib,
+                                        stem_mode="direct")
+        t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                           iters=args.iters, tag="int8sd")
+        results["int8+stem-direct"] = t
+
+    if "t2" in variants:
+        from yolo_tpu.serving.pallas_int8 import transition_conv2_pallas
+
+        for spec in args.t2_stages.split(";"):
+            impl = {"transition_conv2": {
+                f"layer{s}": transition_conv2_pallas
+                for s in (int(x) for x in spec.split(","))
+            }}
+            predict, q = build_int8_predict(model, variables, calib, impl=impl)
+            t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                               iters=args.iters, tag="int8t2")
+            results[f"int8+t2({spec})"] = t
 
     if "pallas" in variants:
         from yolo_tpu.serving.pallas_int8 import chain_pallas

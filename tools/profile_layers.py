@@ -133,7 +133,7 @@ def main():
         extra = ""
         for k in ("long_name", "tf_op", "source"):
             if meta.get(k):
-                extra = str(meta[k])[:80]
+                extra = str(meta[k])[:200]
                 break
         print(f"{name:<60} {dur:>10} {dur / max(op_total, 1) * 100:>5.1f} {extra}")
 

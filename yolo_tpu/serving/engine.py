@@ -104,11 +104,15 @@ def _conv3x3_retile_rq(x_q, qc, tiles: int):
     return jnp.concatenate(rows, axis=1)
 
 
-def _block_xla(x_q, qb, stride=1, conv2_tiles: int = 0):
+def _block_xla(x_q, qb, stride=1, conv2_tiles: int = 0, conv2_fn=None):
     """One bottleneck block: int8 dots (1x1) + int8 conv (3x3), fused requants."""
     acc = _dot_1x1_i8(x_q, qb["conv1"]["wq"])
     y1 = _requant(acc, qb["conv1"]["m"], qb["conv1"]["t"])
-    if conv2_tiles and stride == 1:
+    if conv2_fn is not None and stride == 2:
+        # Pallas dense-dot kernel for the stride-2 transition conv2
+        # (serving/pallas_int8.py::transition_conv2_pallas): bit-identical.
+        y2 = conv2_fn(y1, qb["conv2"])
+    elif conv2_tiles and stride == 1:
         y2 = _conv3x3_retile_rq(y1, qb["conv2"], conv2_tiles)
     else:
         acc = _conv_i8(y1, qb["conv2"]["wq"], stride=stride, pad=1)
@@ -168,15 +172,17 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
         # blocks (layers 2-4) stay on the XLA path; layer1's stride-1
         # transition (downsample included) is part of the chain.
         chain_fn = impl.get(f"layer{si + 1}", None)
+        t2_fn = impl.get("transition_conv2", {}).get(f"layer{si + 1}", None)
         if chain_fn is None:
             tiles = impl.get("conv2_tiles", {}).get(f"layer{si + 1}", 0)
             for bi, qb in enumerate(blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
-                x_q = _block_xla(x_q, qb, stride, conv2_tiles=tiles)
+                x_q = _block_xla(x_q, qb, stride, conv2_tiles=tiles,
+                                 conv2_fn=t2_fn)
             continue
         start = 0
         if si > 0:
-            x_q = _block_xla(x_q, blocks[0], 2)
+            x_q = _block_xla(x_q, blocks[0], 2, conv2_fn=t2_fn)
             start = 1
         if start >= len(blocks):  # stage with only its transition block
             continue
@@ -250,7 +256,7 @@ def make_int8_engine_fn(
 
 
 def build_int8_predict(model, variables, calibration_images, impl=None,
-                       nms_fn=None):
+                       nms_fn=None, stem_mode="s2d"):
     """One-stop build: fold -> calibrate -> quantize -> jitted predict fn.
 
     ``calibration_images``: iterable of (n, H, W, 3) normalized image batches
@@ -264,7 +270,7 @@ def build_int8_predict(model, variables, calibration_images, impl=None,
     folded = fold_flagship(variables)
     act_max = calibrate_activations(folded, calibration_images,
                                     dtype=jnp.bfloat16)
-    q = quantize_folded(folded, act_max)
+    q = quantize_folded(folded, act_max, stem_mode=stem_mode)
     fn = make_int8_engine_fn(model.S, model.B, model.num_classes, impl=impl,
                              nms_fn=nms_fn)
     return fn, q

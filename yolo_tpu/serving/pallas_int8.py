@@ -441,3 +441,138 @@ def chain_pallas(x_q, qblocks, real_w=None, interpret=False, chunk_rows=None):
         x_q, qblocks, interpret=interpret, chunk_rows=chunk_rows,
         real_w=real_w,
     )
+
+
+# ------------------------------------------- transition conv2 (3x3 stride 2)
+#
+# XLA's int8 3x3/s2 conv at 56^2x128 / 28^2x256 output runs 2.5-3.5x over its
+# compute roofline (profiled: 2.23 / 1.32 ms @b256 vs ~0.6-0.9 floors) while
+# its big-K dot path is fine — and Mosaic's int8 dot sustains >=165-283 TOPS
+# once K and N are >=128-multiples (experiments/mosaic_int8_dot.py; N=64
+# geometries run at 12-31 TOPS, which is why the bottleneck-chain kernels
+# above lose at layer1). This kernel therefore re-expresses the strided conv
+# as two DENSE dots with zero padded-MAC waste:
+#
+# - Columns: the caller views y1 (N,H,W,C) as (N,H,W/2,2C) — a free bitcast
+#   that packs column pairs ("superpixels") into channels, turning the
+#   column stride into weight layout. Output col j taps cols 2j-1..2j+1 =
+#   the odd half of superpixel j-1 plus ALL of superpixel j: one K=3C dot
+#   (odd halves) + one K=3*2C dot (full superpixels), both dense.
+# - Rows: the padded buffer's row dim (H+2) reshapes outer-dim-free to
+#   ((H+2)/2, 2) row pairs; the three row taps are plain pair/phase slices
+#   (Mosaic supports no strided slicing at all — probed on-device).
+#
+# Integer accumulation is a reordering of the same 9-tap sum, so results are
+# bit-identical to engine._conv_i8 + _requant (tests/test_serving.py).
+
+
+def _transition_conv2_kernel(
+    x_ref, wa_ref, wb_ref, m_ref, t_ref, out_ref, xp,
+    *, H: int, WP: int, C2: int, IPS: int,
+):
+    C = C2 // 2
+    HP = H // 2  # output rows/cols
+    # Padded buffer: rows +1 top/bottom, one zero superpixel (cols -2,-1)
+    # left. xp: (IPS, H + 2, WP + 1, C2).
+    xp[...] = jnp.zeros_like(xp)
+    xp[:, 1 : H + 1, 1 : WP + 1, :] = x_ref[...]
+
+    xpr = xp[...].reshape(IPS, (H + 2) // 2, 2, WP + 1, C2)
+    # Row taps for output row i: padded rows 2i, 2i+1, 2i+2 =
+    # (pair i, ph 0), (pair i, ph 1), (pair i+1, ph 0) = dy -1, 0, +1.
+    taps = ((0, 0), (0, 1), (1, 0))
+    m = IPS * HP * HP
+    pa = []
+    pb = []
+    for a, p in taps:
+        # A: full superpixel j+1 (padded col slice 1..WP) -> dx = 0, +1.
+        pa.append(
+            xpr[:, a : a + HP, p, 1 : WP + 1, :].reshape(m, C2)
+        )
+        # B: odd half of superpixel j (padded col slice 0..WP-1) -> dx = -1.
+        pb.append(
+            xpr[:, a : a + HP, p, 0:WP, C:C2].reshape(m, C)
+        )
+    acc = jax.lax.dot_general(
+        jnp.concatenate(pa, axis=1), wa_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc += jax.lax.dot_general(
+        jnp.concatenate(pb, axis=1), wb_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = _rq_i8(acc, m_ref[...], t_ref[...])
+    out_ref[...] = out.reshape(IPS, HP, HP, C)
+
+
+def transition_conv2_weights(w_q):
+    """(3, 3, C, C) int8 kernel -> (wA (6C, C), wB (3C, C)) dense dot weights.
+
+    Row-tap order dy = -1, 0, +1; within each A row-tap the superpixel's
+    even slot is the dx=0 tap and the odd slot the dx=+1 tap; B carries the
+    dx=-1 taps.
+    """
+    C = w_q.shape[2]
+    wa = jnp.concatenate(
+        [jnp.concatenate([w_q[ky, 1], w_q[ky, 2]], axis=0) for ky in range(3)],
+        axis=0,
+    )
+    wb = jnp.concatenate([w_q[ky, 0] for ky in range(3)], axis=0)
+    assert wa.shape == (6 * C, C) and wb.shape == (3 * C, C)
+    return wa, wb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("images_per_step", "interpret")
+)
+def transition_conv2_int8(x_q, w_q, mm, tt, images_per_step: int = 0,
+                          interpret: bool = False):
+    """3x3 stride-2 pad-1 int8 conv + requant: (N,H,H,C) -> (N,H/2,H/2,C).
+
+    Bit-identical to engine's lax conv + _requant. H must be even; C a
+    multiple of 128 (layer2/3 transitions: 112^2x128, 56^2x256).
+    """
+    N, H, W, C = x_q.shape
+    assert H == W and H % 2 == 0 and C % 128 == 0, (H, W, C)
+    # ~25 MB of scoped VMEM per step (padded buffer + patches + s32 acc +
+    # pipelined in/out blocks): 2 images at 112^2x128, 4 at 56^2x256.
+    IPS = images_per_step or max(1, 256 // H)
+    while N % IPS:
+        IPS -= 1
+    WP = W // 2
+    C2 = 2 * C
+    xr = x_q.reshape(N, H, WP, C2)
+    wa, wb = transition_conv2_weights(w_q)
+
+    kern = functools.partial(
+        _transition_conv2_kernel, H=H, WP=WP, C2=C2, IPS=IPS,
+    )
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(N // IPS,),
+        in_specs=[
+            pl.BlockSpec((IPS, H, WP, C2), lambda n: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            vmem, vmem, vmem, vmem,
+        ],
+        out_specs=pl.BlockSpec((IPS, H // 2, H // 2, C),
+                               lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H // 2, H // 2, C), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((IPS, H + 2, WP + 1, C2), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xr, wa, wb, mm.reshape(1, C), tt.reshape(1, C))
+
+
+def transition_conv2_pallas(y1_q, qc, interpret=False, images_per_step=0):
+    """serving.engine conv2-impl adapter for stride-2 transition blocks."""
+    return transition_conv2_int8(
+        y1_q, qc["wq"], qc["m"], qc["t"],
+        images_per_step=images_per_step, interpret=interpret,
+    )
