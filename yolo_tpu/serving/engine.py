@@ -221,13 +221,15 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
 def default_impl() -> Dict:
     """Production stage-impl map: pure XLA everywhere.
 
-    Both Pallas bottleneck kernels (per-tile and whole-image chain,
-    serving/pallas_int8.py) were measured SLOWER than the XLA int8 dot
-    formulation on v5e (layer1 identity block @b256: XLA 6.3 ms vs Pallas
-    10.3; a trivial-epilogue diagnostic still runs 8.5 — the 64-plane dot
-    geometry under-fills the 128x128 MXU and no amount of fusion recovers
-    it). The kernels stay available through ``impl`` for future shapes/
-    hardware; see PARITY.md "Performance" for the full measurement table.
+    Every Pallas/restructuring alternative was measured SLOWER e2e on v5e:
+    the bottleneck chain kernels, the batch-folded conv retile, the
+    dense-dot transition-conv2 kernel, and the direct 7x7 stem (PARITY.md
+    "Performance" table). Root cause is measured, not guessed: Mosaic int8
+    dots run at 12-31 TOPS on the N=64 geometries that dominate layer1/stem
+    (experiments/mosaic_int8_dot.py) while XLA's conv path achieves ~191
+    TOPS effective there and is within ~10-15% of a geometry-honest
+    speed-of-light for the whole graph. All kernels stay available through
+    ``impl`` for future shapes/hardware.
     """
     return {}
 
