@@ -142,22 +142,28 @@ def _block_xla(x_q, qb, stride=1, conv2_tiles: int = 0, conv2_fn=None):
 def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
     """Quantized serving forward -> (N, S, S, B*5+C) f32 grid."""
     impl = impl or {}
-    x_q = _quantize_input(images, q["s_img"])
 
     stem_wq = q["stem"]["wq"]
     if stem_wq.shape[0] == 4:  # space-to-depth stem (quant.s2d_stem_weights)
-        n, h, w, c = x_q.shape
-        xs = (
-            x_q.reshape(n, h // 2, 2, w // 2, 2, c)
+        # Space-to-depth BEFORE quantization: elementwise quant commutes with
+        # the layout shuffle bit-exactly, and ordering it this way lets XLA
+        # fuse the gather into the quantize loop fusion writing int8 directly
+        # in s2d arrangement — the quant-then-reshape order materialized two
+        # relayout copies (1.76 ms @b256, profiled round 3).
+        n, h, w, c = images.shape
+        xs_f = (
+            images.reshape(n, h // 2, 2, w // 2, 2, c)
             .transpose(0, 1, 3, 2, 4, 5)
             .reshape(n, h // 2, w // 2, 4 * c)
         )
+        xs = _quantize_input(xs_f, q["s_img"])
         acc = lax.conv_general_dilated(
             xs, stem_wq, (1, 1), [(2, 1), (2, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.int32,
         )
     else:
+        x_q = _quantize_input(images, q["s_img"])
         acc = _conv_i8(x_q, stem_wq, stride=2, pad=3)
     x_q = _requant(acc, q["stem"]["m"], q["stem"]["t"])
     x_q = lax.reduce_window(
@@ -207,11 +213,26 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
             acc = _conv_i8(x_q, qc["wq"], stride=stride, pad=1)
             x_q = _requant(acc, qc["m"], qc["t"], leaky=True)
 
-    x = x_q.astype(jnp.bfloat16) * head["s_out4"].astype(jnp.bfloat16)
-    n = x.shape[0]
-    x = x.reshape(n, -1)
-    x = jnp.dot(x, head["fc1"]["w"], preferred_element_type=jnp.float32)
-    x = x + head["fc1"]["b"]
+    n = x_q.shape[0]
+    fc1 = head["fc1"]
+    if "wq" in fc1:
+        # int8 fc1: the flattened head activation is ALREADY int8 — dot it
+        # straight against per-channel int8 weights (s32 accumulate, fma
+        # epilogue y = acc * (s_act * s_w) + b). Kills the int8->bf16
+        # convert_multiply pass (0.65 ms @b256) and halves the 411 MB fc1
+        # weight read; only new error is the per-channel weight rounding
+        # (gated by tools/quant_accuracy.py).
+        acc = lax.dot_general(
+            x_q.reshape(n, -1), fc1["wq"],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        x = acc.astype(jnp.float32) * fc1["m"] + fc1["b"]
+    else:
+        x = x_q.astype(jnp.bfloat16) * head["s_out4"].astype(jnp.bfloat16)
+        x = x.reshape(n, -1)
+        x = jnp.dot(x, fc1["w"], preferred_element_type=jnp.float32)
+        x = x + fc1["b"]
     x = jnp.where(x > 0, x, 0.1 * x).astype(jnp.bfloat16)
     x = jnp.dot(x, head["fc2"]["w"], preferred_element_type=jnp.float32)
     x = x + head["fc2"]["b"]
@@ -258,7 +279,7 @@ def make_int8_engine_fn(
 
 
 def build_int8_predict(model, variables, calibration_images, impl=None,
-                       nms_fn=None, stem_mode="s2d"):
+                       nms_fn=None, stem_mode="s2d", fc1_mode="int8"):
     """One-stop build: fold -> calibrate -> quantize -> jitted predict fn.
 
     ``calibration_images``: iterable of (n, H, W, 3) normalized image batches
@@ -272,7 +293,8 @@ def build_int8_predict(model, variables, calibration_images, impl=None,
     folded = fold_flagship(variables)
     act_max = calibrate_activations(folded, calibration_images,
                                     dtype=jnp.bfloat16)
-    q = quantize_folded(folded, act_max, stem_mode=stem_mode)
+    q = quantize_folded(folded, act_max, stem_mode=stem_mode,
+                        fc1_mode=fc1_mode)
     fn = make_int8_engine_fn(model.S, model.B, model.num_classes, impl=impl,
                              nms_fn=nms_fn)
     return fn, q

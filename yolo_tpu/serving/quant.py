@@ -115,7 +115,8 @@ def s2d_stem_weights(w):
 
 
 def quantize_folded(
-    folded: Dict, act_max: Dict[str, float], stem_mode: str = "s2d"
+    folded: Dict, act_max: Dict[str, float], stem_mode: str = "s2d",
+    fc1_mode: str = "int8",
 ) -> Dict:
     """Folded fp32 params + calibrated activation maxima -> int8 engine params.
 
@@ -123,6 +124,10 @@ def quantize_folded(
     pre-combined so the engine's epilogues are a single per-channel fma.
     ``stem_mode='s2d'`` stores the stem as its space-to-depth 4x4 equivalent
     (bit-identical int8 results; the engine dispatches on the kernel shape).
+    ``fc1_mode='int8'`` quantizes fc1 weights per-output-channel so the
+    already-int8 head activation dots straight into fc1 (the bf16 path's
+    convert+scale pass and half its weight bytes disappear; 'bf16' keeps the
+    round-2 formulation).
     """
     s = {k: max(v, 1e-12) / 127.0 for k, v in act_max.items()}
 
@@ -176,10 +181,21 @@ def quantize_folded(
                           s_in, s[f"head_conv{i}"])
         s_in = s[f"head_conv{i}"]
     qh["s_out4"] = jnp.float32(s["head_conv4"])
-    for name in ("fc1", "fc2"):
-        qh[name] = {
-            "w": head[name]["w"].astype(jnp.bfloat16),
-            "b": head[name]["b"].astype(jnp.float32),
+    if fc1_mode == "int8":
+        w1q, s_w1 = _quant_weight(head["fc1"]["w"])
+        qh["fc1"] = {
+            "wq": w1q,
+            "m": (jnp.float32(s_in) * s_w1).astype(jnp.float32),
+            "b": head["fc1"]["b"].astype(jnp.float32),
         }
+    else:
+        qh["fc1"] = {
+            "w": head["fc1"]["w"].astype(jnp.bfloat16),
+            "b": head["fc1"]["b"].astype(jnp.float32),
+        }
+    qh["fc2"] = {
+        "w": head["fc2"]["w"].astype(jnp.bfloat16),
+        "b": head["fc2"]["b"].astype(jnp.float32),
+    }
     q["head"] = qh
     return q
