@@ -303,3 +303,47 @@ def test_pallas_chain_padded_width_matches_xla():
     got = chain_pallas(xp, qbs, real_w=W, interpret=True)
     np.testing.assert_array_equal(np.asarray(got[:, :, :W, :]),
                                   np.asarray(want))
+
+
+@pytest.mark.parametrize("n,h,w", [(2, 16, 16), (3, 8, 12), (4, 18, 10)])
+def test_pallas_stem_front_matches_engine_quant_s2d(n, h, w):
+    """quant+s2d kernel == engine's quantize-then-shuffle, bit-exact
+    (interpret mode), incl. rows-per-step reduction for odd H/2."""
+    from yolo_tpu.serving.engine import _quantize_input
+    from yolo_tpu.serving.pallas_stem import quant_s2d_int8
+
+    imgs = jax.random.normal(jax.random.PRNGKey(31), (n, h, w, 3),
+                             jnp.bfloat16) * 3
+    s = jnp.float32(0.0123)
+    xq = _quantize_input(imgs, s)
+    want = (
+        xq.reshape(n, h // 2, 2, w // 2, 2, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 12)
+    )
+    got = quant_s2d_int8(imgs, s, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_forward_stem_front_impl(small_flagship):
+    """impl['stem_front'] produces the identical engine output; non-128
+    batches fall back to the XLA stem front (same result by construction)."""
+    from functools import partial
+
+    from yolo_tpu.serving.pallas_stem import stem_front_pallas
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(32), (2, 64, 64, 3))]
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calib)
+    q = quantize_folded(folded, act_max)
+    images = jax.random.normal(jax.random.PRNGKey(33), (2, 64, 64, 3))
+
+    want = int8_forward(q, images, S=model.S)
+    # batch 2 -> the engine's 128-alignment guard must take the XLA path
+    # even with the impl present (a compiled-TPU-only kernel otherwise).
+    got = int8_forward(
+        q, images, S=model.S,
+        impl={"stem_front": partial(stem_front_pallas, interpret=True)},
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -145,18 +145,25 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
 
     stem_wq = q["stem"]["wq"]
     if stem_wq.shape[0] == 4:  # space-to-depth stem (quant.s2d_stem_weights)
-        # Space-to-depth BEFORE quantization: elementwise quant commutes with
-        # the layout shuffle bit-exactly, and ordering it this way lets XLA
-        # fuse the gather into the quantize loop fusion writing int8 directly
-        # in s2d arrangement — the quant-then-reshape order materialized two
-        # relayout copies (1.76 ms @b256, profiled round 3).
-        n, h, w, c = images.shape
-        xs_f = (
-            images.reshape(n, h // 2, 2, w // 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, h // 2, w // 2, 4 * c)
-        )
-        xs = _quantize_input(xs_f, q["s_img"])
+        # NOTE: quant-vs-s2d order is a no-op for XLA (elementwise quant
+        # commutes with the shuffle and the compiler canonicalizes either
+        # form to the same graph: quant fusion + two relayout copies,
+        # 1.76 ms @b256 profiled round 3). Killing the copies needs the
+        # Pallas stem-front kernel (serving/pallas_stem.py), selected via
+        # ``impl["stem_front"]``.
+        stem_front = impl.get("stem_front", None)
+        # The Pallas stem front's column-parity lane slice needs the batch
+        # (its lane dim) 128-aligned; other batches fall back to XLA.
+        if stem_front is not None and images.shape[0] % 128 == 0:
+            xs = stem_front(images, q["s_img"])
+        else:
+            n, h, w, c = images.shape
+            xs_f = (
+                images.reshape(n, h // 2, 2, w // 2, 2, c)
+                .transpose(0, 1, 3, 2, 4, 5)
+                .reshape(n, h // 2, w // 2, 4 * c)
+            )
+            xs = _quantize_input(xs_f, q["s_img"])
         acc = lax.conv_general_dilated(
             xs, stem_wq, (1, 1), [(2, 1), (2, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -240,19 +247,28 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
 
 
 def default_impl() -> Dict:
-    """Production stage-impl map: pure XLA everywhere.
+    """Production stage-impl map: XLA convs + the Pallas stem front.
 
-    Every Pallas/restructuring alternative was measured SLOWER e2e on v5e:
-    the bottleneck chain kernels, the batch-folded conv retile, the
-    dense-dot transition-conv2 kernel, and the direct 7x7 stem (PARITY.md
-    "Performance" table). Root cause is measured, not guessed: Mosaic int8
-    dots run at 12-31 TOPS on the N=64 geometries that dominate layer1/stem
-    (experiments/mosaic_int8_dot.py) while XLA's conv path achieves ~191
-    TOPS effective there and is within ~10-15% of a geometry-honest
-    speed-of-light for the whole graph. All kernels stay available through
-    ``impl`` for future shapes/hardware.
+    The stem front (quantize + space-to-depth, serving/pallas_stem.py) is
+    the one Pallas kernel that beats XLA e2e: it emits the stem conv's
+    batch-minor layout directly, deleting XLA's two relayout copies
+    (6.9 -> 5.1 ms stem chain, 61.5 -> 60.4 ms e2e @b256/448², bit-exact).
+
+    Every conv-path Pallas/restructuring alternative was measured SLOWER
+    e2e on v5e: the bottleneck chain kernels, the batch-folded conv retile,
+    the dense-dot transition-conv2 kernel, and the direct 7x7 stem
+    (PARITY.md "Performance" table). Root cause is measured, not guessed:
+    Mosaic int8 dots run at 12-31 TOPS on the N=64 geometries that dominate
+    layer1/stem (experiments/mosaic_int8_dot.py) while XLA's conv path
+    achieves ~191 TOPS effective there and is within ~10-15% of a
+    geometry-honest speed-of-light for the whole graph. All kernels stay
+    available through ``impl`` for future shapes/hardware.
     """
-    return {}
+    if jax.default_backend() != "tpu":
+        return {}  # Mosaic kernels only lower on TPU (tests use interpret)
+    from yolo_tpu.serving.pallas_stem import stem_front_pallas
+
+    return {"stem_front": stem_front_pallas}
 
 
 def make_int8_engine_fn(
