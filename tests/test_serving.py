@@ -347,3 +347,22 @@ def test_int8_forward_stem_front_impl(small_flagship):
         impl={"stem_front": partial(stem_front_pallas, interpret=True)},
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_int8_forward_bf16_fc1_mode(small_flagship):
+    """fc1_mode='bf16' keeps the round-2 formulation working and on-scale
+    with the int8-fc1 default (same function up to fc1 weight rounding)."""
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(34), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(35), (2, 64, 64, 3))
+
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calib)
+    q_i8 = quantize_folded(folded, act_max)
+    q_bf = quantize_folded(folded, act_max, fc1_mode="bf16")
+    assert "wq" in q_i8["head"]["fc1"] and "w" in q_bf["head"]["fc1"]
+
+    a = np.asarray(int8_forward(q_i8, images, S=model.S)).ravel()
+    b = np.asarray(int8_forward(q_bf, images, S=model.S)).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.999, f"fc1 int8/bf16 correlation {corr}"

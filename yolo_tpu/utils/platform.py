@@ -25,17 +25,34 @@ def machine_fingerprint() -> str:
     gate when /tmp/jax_cache survived across heterogeneous fleet hosts).
     Keying every cache directory by this fingerprint makes caches hermetic
     per machine type while staying warm across runs on the same machine.
+
+    The fingerprint must include the CPUID identity (vendor/family/model/
+    stepping), not just the feature flags: LLVM derives tuning features such
+    as ``+prefer-no-gather`` from the detected CPU *model* (e.g. Sapphire
+    Rapids vs Ice Lake), so two fleet hosts with identical hypervisor-
+    normalized flag sets can still produce mutually SIGILL-class-incompatible
+    AOT blobs (observed round 3: a flags-only fingerprint collided across
+    such hosts and re-poisoned the multichip gate).
     """
-    feats = ""
+    keys = ("vendor_id", "cpu family", "model", "stepping", "model name",
+            "flags", "Features")
+    ident = []
     try:
         with open("/proc/cpuinfo") as fh:
+            seen = set()
             for line in fh:
-                if line.startswith(("flags", "Features")):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                k = line.split(":", 1)[0].strip()
+                if k in keys and k not in seen:
+                    seen.add(k)
+                    v = line.split(":", 1)[1].strip()
+                    if k in ("flags", "Features"):
+                        v = " ".join(sorted(v.split()))
+                    ident.append(f"{k}={v}")
+                if len(seen) == len(keys):
                     break
     except OSError:
         pass
-    raw = f"{_platform.machine()}|{feats}"
+    raw = f"{_platform.machine()}|{'|'.join(ident)}"
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
