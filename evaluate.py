@@ -191,6 +191,11 @@ def main(argv=None):
         act_max = calibrate_activations(folded, calib, dtype=jnp.bfloat16)
         q = quantize_folded(folded, act_max)
         impl = default_impl()
+        if args.mesh_data or args.mesh_model > 1:
+            # The Mosaic stem-front custom call has no GSPMD partitioning
+            # rule: under a sharded mesh it cannot be split across devices.
+            # The XLA stem front computes the identical int8 result.
+            impl.pop("stem_front", None)
         variables = q  # threaded through evaluate_model as the "variables"
 
         def forward_fn(qparams, images):
@@ -200,6 +205,10 @@ def main(argv=None):
               f" {sum(c.shape[0] for c in calib)} images")
 
     mesh = None
+    if args.mesh_model > 1 and not args.mesh_data:
+        # --mesh-model alone previously fell through to a single-device run
+        # with no warning; default the data axis to 1 so the flag acts.
+        args.mesh_data = 1
     if args.mesh_data:
         from yolo_tpu.parallel import make_mesh
 

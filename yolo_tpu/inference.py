@@ -143,6 +143,20 @@ class YOLOInference:
 
         def lazy_predict(images, conf, nms):
             if "fn" not in state:
+                n_calib = int(jnp.shape(images)[0])
+                if n_calib < 8:
+                    import warnings
+
+                    warnings.warn(
+                        f"int8 engine calibrating activation scales on the"
+                        f" first predict batch of only {n_calib} image(s);"
+                        f" scales are pinned for the engine's lifetime and a"
+                        f" small/unrepresentative batch can underestimate"
+                        f" activation maxima (clipping). Pass calibration="
+                        f"[batches] to YOLOInference for deployment-grade"
+                        f" scales.",
+                        stacklevel=2,
+                    )
                 state["fn"], state["q"] = build_int8_predict(
                     model, variables, [jnp.asarray(images, jnp.float32)],
                     impl=default_impl(), nms_fn=nms_fn,

@@ -82,6 +82,11 @@ def _conv3x3_retile_rq(x_q, qc, tiles: int):
     accumulation order per output).
     """
     n, h, w, c = x_q.shape
+    if h != w or h % tiles != 0:
+        raise ValueError(
+            f"conv2_tiles={tiles} needs a square feature map divisible by"
+            f" the tile count; got {h}x{w}"
+        )
     th = h // tiles
     xp = jnp.pad(x_q, ((0, 0), (1, 1), (1, 1), (0, 0)))
     parts = [

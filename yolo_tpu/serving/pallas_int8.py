@@ -356,7 +356,8 @@ def fused_identity_chain_int8(x_q, qblocks, interpret: bool = False,
     for the entire chain, vs (2 reads + 1 write) x NB for the per-block
     path. The first block may carry a (stride-1) downsample projection —
     layer1's transition block — whose branch math matches the XLA engine's
-    int16-rounded epilogue bit-for-bit.
+    own-scale int8 epilogue (round + clip at s_ds, rescale by s_ds/s_out
+    on add; engine._block_xla) bit-for-bit.
     """
     N, H, W_phys, CIN = x_q.shape
     W = real_w if (real_w is not None and real_w != W_phys) else W_phys

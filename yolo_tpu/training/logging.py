@@ -218,8 +218,14 @@ def log_epoch_metrics(
             )
     writer.add_scalar("epoch/learning_rate", float(learning_rate), epoch)
     if "mAP50:95" in val_losses:
+        # mAP50/mAP75 are absent when the evaluator ran with custom
+        # iou_thresholds that exclude 0.5/0.75 (metrics/map.py) — log only
+        # what exists.
         for key in ("mAP50:95", "mAP50", "mAP75", "precision", "recall"):
-            writer.add_scalar(f"epoch/{key}", float(val_losses[key]), epoch)
+            if key in val_losses:
+                writer.add_scalar(
+                    f"epoch/{key}", float(val_losses[key]), epoch
+                )
         for size in ("small", "medium", "large"):
             if f"mAP50:95_{size}" in val_losses:
                 writer.add_scalar(
