@@ -85,3 +85,20 @@ def test_add_hparams_writes_plugin_protos(tmp_path):
     summary = next(r for r in recs if "hparams_summary" in r)["hparams_summary"]
     assert summary["hparams"]["backbone"] == "resnet"
     assert summary["final_metrics"]["mAP50"] == 0.43
+
+
+def test_epoch_metrics_with_custom_iou_thresholds(tmp_path):
+    """Evaluator runs with custom iou_thresholds omit mAP50/mAP75 while
+    still emitting mAP50:95 — epoch logging must log what exists instead
+    of raising KeyError (round-3 review finding)."""
+    loss = {"total": 3.0}
+    val = {"total": 2.5, "mAP50:95": 0.21, "precision": 0.17,
+           "recall": 0.52}  # no mAP50 / mAP75
+    w = MetricWriter(tmp_path)
+    log_epoch_metrics(w, loss, val, learning_rate=1e-4, epoch=1)
+    w.close()
+    recs = [json.loads(x) for x in (tmp_path / "metrics.jsonl").read_text()
+            .splitlines()]
+    tags = {r["tag"] for r in recs if "tag" in r}
+    assert "epoch/mAP50:95" in tags and "epoch/precision" in tags
+    assert "epoch/mAP50" not in tags and "epoch/mAP75" not in tags
