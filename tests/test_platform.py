@@ -89,3 +89,27 @@ def test_append_flag_once():
     assert f == "--x=1"
     f = platform._append_flag_once(f, "--y=3")
     assert f == "--x=1 --y=3"
+
+
+def test_machine_fingerprint_discriminates_cpu_model(tmp_path):
+    """Two hosts with IDENTICAL hypervisor-normalized flag sets but
+    different CPUID models must get different fingerprints: LLVM derives
+    AOT tuning features (+prefer-no-gather etc.) from the CPU model, and a
+    flags-only key loaded SIGILL-class foreign XLA:CPU blobs twice on the
+    fleet (rounds 2 and 3)."""
+    flags = "flags\t\t: fpu avx avx2 avx512f sse sse2"
+    icelake = tmp_path / "icelake"
+    icelake.write_text(
+        "vendor_id\t: GenuineIntel\ncpu family\t: 6\nmodel\t\t: 106\n"
+        f"stepping\t: 6\nmodel name\t: Intel(R) Xeon(R) Processor\n{flags}\n"
+    )
+    spr = tmp_path / "sapphirerapids"
+    spr.write_text(
+        "vendor_id\t: GenuineIntel\ncpu family\t: 6\nmodel\t\t: 143\n"
+        f"stepping\t: 8\nmodel name\t: Intel(R) Xeon(R) Processor\n{flags}\n"
+    )
+    a = platform.machine_fingerprint(cpuinfo_path=str(icelake))
+    b = platform.machine_fingerprint(cpuinfo_path=str(spr))
+    assert a != b
+    # Same file -> stable.
+    assert a == platform.machine_fingerprint(cpuinfo_path=str(icelake))

@@ -15,7 +15,7 @@ import os
 import platform as _platform
 
 
-def machine_fingerprint() -> str:
+def machine_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
     """Short stable hash of this host's CPU microarchitecture.
 
     XLA:CPU's persistent cache stores AOT-compiled machine code keyed only by
@@ -38,7 +38,7 @@ def machine_fingerprint() -> str:
             "flags", "Features")
     ident = []
     try:
-        with open("/proc/cpuinfo") as fh:
+        with open(cpuinfo_path) as fh:
             seen = set()
             for line in fh:
                 k = line.split(":", 1)[0].strip()
