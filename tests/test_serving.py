@@ -366,3 +366,23 @@ def test_int8_forward_bf16_fc1_mode(small_flagship):
     b = np.asarray(int8_forward(q_bf, images, S=model.S)).ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.999, f"fc1 int8/bf16 correlation {corr}"
+
+
+@pytest.mark.parametrize("H,C", [(8, 16), (12, 32)])
+def test_colpack_transition_conv_matches_strided(H, C):
+    """Column-superpixel-packed stride-(2,1) conv == the direct 3x3/s2
+    conv + requant, bit-exact (zero-weight taps add exact zeros)."""
+    from yolo_tpu.serving.engine import (
+        _conv3x3_s2_colpack_rq, _conv_i8, _requant,
+    )
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(40), 4)
+    y1 = jax.random.randint(k1, (2, H, H, C), -127, 128, jnp.int8)
+    qc = {
+        "wq": jax.random.randint(k2, (3, 3, C, C), -127, 128, jnp.int8),
+        "m": jax.random.uniform(k3, (C,), jnp.float32, 1e-4, 3e-4),
+        "t": jax.random.uniform(k4, (C,), jnp.float32, -2, 2),
+    }
+    want = _requant(_conv_i8(y1, qc["wq"], stride=2, pad=1), qc["m"], qc["t"])
+    got = _conv3x3_s2_colpack_rq(y1, qc)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -72,10 +72,40 @@ def main():
 
     calib = [imgs[:64]]
     if "int8" in variants:
-        predict, q = build_int8_predict(model, variables, calib)
+        # The SHIPPED configuration (engine.default_impl: Pallas stem front
+        # on TPU) — matches bench.py's headline graph.
+        from yolo_tpu.serving.engine import default_impl
+
+        predict, q = build_int8_predict(model, variables, calib,
+                                        impl=default_impl())
         t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
                            iters=args.iters, tag="int8")
         results["int8"] = t
+
+    if "int8-xla" in variants:
+        predict, q = build_int8_predict(model, variables, calib)
+        t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                           iters=args.iters, tag="int8x")
+        results["int8-xla"] = t
+
+    if "colpack" in variants:
+        # Column-superpixel-packed transition conv2s (engine-internal XLA
+        # reformulation, bit-exact; see engine._conv3x3_s2_colpack_rq).
+        from yolo_tpu.serving.engine import (
+            _conv3x3_s2_colpack_rq, default_impl,
+        )
+
+        for spec in args.t2_stages.split(";"):
+            impl = dict(default_impl())
+            impl["transition_conv2"] = {
+                f"layer{s}": _conv3x3_s2_colpack_rq
+                for s in (int(x) for x in spec.split(","))
+            }
+            predict, q = build_int8_predict(model, variables, calib,
+                                            impl=impl)
+            t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                               iters=args.iters, tag="int8cp")
+            results[f"int8+colpack({spec})"] = t
 
     if "retile" in variants:
         impl = {"conv2_tiles": {

@@ -109,6 +109,40 @@ def _conv3x3_retile_rq(x_q, qc, tiles: int):
     return jnp.concatenate(rows, axis=1)
 
 
+def _colpack_weights(wq):
+    """(3, 3, C, Cout) stride-2 kernel -> (3, 2, 2C, Cout) superpixel form.
+
+    Column pairs of the input pack into channels (a free bitcast view);
+    output col J taps orig cols 2J-1..2J+1 = the odd half of superpixel
+    J-1 plus both halves of superpixel J, so the packed kernel is width 2
+    with the dx=-1 tap in the left tap's odd-half channels (even half
+    zero) — integer accumulation over exact-zero weights is bit-identical
+    to the strided conv.
+    """
+    zero = jnp.zeros_like(wq[:, 0])
+    left = jnp.concatenate([zero, wq[:, 0]], axis=1)
+    right = jnp.concatenate([wq[:, 1], wq[:, 2]], axis=1)
+    return jnp.stack([left, right], axis=1)
+
+
+def _conv3x3_s2_colpack_rq(y1_q, qc):
+    """3x3/s2/p1 int8 conv + requant via column-superpixel packing.
+
+    Re-expresses the W-stride as weight layout so XLA sees a stride-(2,1)
+    conv over (N, H, W/2, 2C) — probing whether XLA's slow strided-int8
+    shape class (PARITY.md: 2.2-3.5x over compute floors) is the W stride
+    specifically. Bit-identical to engine._conv_i8 + _requant.
+    """
+    n, h, w, c = y1_q.shape
+    xp = y1_q.reshape(n, h, w // 2, 2 * c)
+    acc = lax.conv_general_dilated(
+        xp, _colpack_weights(qc["wq"]), (2, 1), [(1, 1), (1, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return _requant(acc, qc["m"], qc["t"])
+
+
 def _block_xla(x_q, qb, stride=1, conv2_tiles: int = 0, conv2_fn=None):
     """One bottleneck block: int8 dots (1x1) + int8 conv (3x3), fused requants."""
     acc = _dot_1x1_i8(x_q, qb["conv1"]["wq"])
