@@ -26,7 +26,16 @@ def parse_args(argv=None):
     p.add_argument("--backbone", default="resnet", choices=["resnet", "yolov1"])
     p.add_argument("--int8", action="store_true",
                    help="serve with the int8-resident engine (resnet only)")
+    p.add_argument("--engine", default=None,
+                   help="load a saved int8 engine artifact (.npz from "
+                        "--save-engine / serving.export) instead of "
+                        "calibrating; implies --int8")
+    p.add_argument("--save-engine", default=None,
+                   help="after serving, freeze the calibrated int8 engine "
+                        "to this .npz (deployment artifact; implies --int8)")
     args = p.parse_args(argv)
+    if args.engine or args.save_engine:
+        args.int8 = True
     if bool(args.image) == bool(args.image_dir):
         p.error("Provide exactly one of --image or --image-dir")
     return args
@@ -44,7 +53,8 @@ def load_engine(args):
     if args.int8 and args.backbone != "resnet":
         raise SystemExit("--int8 supports the resnet flagship only")
     return YOLOInference(
-        model, variables, optimize="int8" if args.int8 else None
+        model, variables, optimize="int8" if args.int8 else None,
+        engine_artifact=args.engine,
     )
 
 
@@ -93,6 +103,9 @@ def main(argv=None):
 
     if args.image:
         predict_single_image(engine, Path(args.image), args, out_dir)
+        if args.save_engine:
+            engine.save_engine(args.save_engine)
+            print(f"int8 engine artifact saved to {args.save_engine}")
         return
 
     image_dir = Path(args.image_dir)
@@ -119,6 +132,9 @@ def main(argv=None):
     for path, dets in zip(paths, all_dets):
         report_and_save(engine, path, dets, out_dir)
         total += len(dets)
+    if args.save_engine:
+        engine.save_engine(args.save_engine)
+        print(f"int8 engine artifact saved to {args.save_engine}")
     print(
         f"\nProcessed {len(paths)} images, {total} detections "
         f"({total / len(paths):.1f} per image)"

@@ -386,3 +386,70 @@ def test_colpack_transition_conv_matches_strided(H, C):
     want = _requant(_conv_i8(y1, qc["wq"], stride=2, pad=1), qc["m"], qc["t"])
     got = _conv3x3_s2_colpack_rq(y1, qc)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_engine_export_roundtrip(small_flagship, tmp_path):
+    """save_engine/load_engine round-trips the q tree exactly: the loaded
+    engine's forward is bit-identical, with no model or calibration data
+    needed at load time (the deployment-box path)."""
+    from yolo_tpu.serving.export import load_engine, save_engine
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(50), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(51), (2, 64, 64, 3))
+
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calib)
+    q = quantize_folded(folded, act_max)
+    want = int8_forward(q, images, S=model.S)
+
+    path = tmp_path / "engine.npz"
+    save_engine(path, q, S=model.S, B=model.B, num_classes=model.num_classes)
+    q2, meta = load_engine(path)
+    assert meta["S"] == model.S and meta["num_classes"] == 20
+    # Tree structure round-trips (None downsample/rx included).
+    assert q2["layers"][0][0]["downsample"] is not None
+    assert q2["layers"][1][0]["rx"] is None or "rx" in q2["layers"][1][0]
+    got = int8_forward(q2, images, S=meta["S"])
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_engine_export_rejects_foreign_files(tmp_path):
+    from yolo_tpu.serving.export import load_engine
+
+    path = tmp_path / "not_engine.npz"
+    np.savez(path, foo=np.zeros(3))
+    with pytest.raises(ValueError, match="not a yolo-tpu engine"):
+        load_engine(path)
+
+
+def test_yoloinference_engine_artifact_roundtrip(small_flagship, tmp_path):
+    """YOLOInference: calibrated engine -> save_engine -> a fresh engine
+    loaded from the artifact (variables=None, no calibration) produces
+    bit-identical detections."""
+    from yolo_tpu.inference import YOLOInference
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(60), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(61), (4, 64, 64, 3))
+
+    eng = YOLOInference(model, variables, image_size=64, optimize="int8",
+                        calibration=calib)
+    want = eng.predict_batch_arrays(images, 0.05, 0.4)
+    path = tmp_path / "deploy.npz"
+    eng.save_engine(path)
+
+    eng2 = YOLOInference(model, None, image_size=64, optimize="int8",
+                         engine_artifact=str(path))
+    got = eng2.predict_batch_arrays(images, 0.05, 0.4)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_save_engine_requires_built_engine(small_flagship):
+    from yolo_tpu.inference import YOLOInference
+
+    model, variables = small_flagship
+    eng = YOLOInference(model, variables, image_size=64, optimize="int8")
+    with pytest.raises(RuntimeError, match="no built int8 engine"):
+        eng.save_engine("/tmp/never.npz")

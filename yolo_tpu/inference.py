@@ -85,6 +85,7 @@ class YOLOInference:
     def __init__(
         self, model, variables, image_size: int = 448, nms_impl: str = "xla",
         optimize: str | None = None, calibration=None,
+        engine_artifact: str | None = None,
     ):
         self.model = model
         self.variables = variables
@@ -93,15 +94,23 @@ class YOLOInference:
             raise ValueError(f"nms_impl must be 'xla' or 'pallas', got {nms_impl!r}")
         if optimize not in (None, "int8"):
             raise ValueError(f"optimize must be None or 'int8', got {optimize!r}")
+        if engine_artifact is not None and optimize != "int8":
+            raise ValueError("engine_artifact requires optimize='int8'")
         if nms_impl == "pallas":
             from yolo_tpu.ops.pallas_nms import pallas_nms as _nms
         else:
             _nms = batched_nms
 
+        self._int8_state: dict = {}
         if optimize == "int8":
-            self._predict_batch = self._build_int8(
-                model, variables, calibration, _nms
-            )
+            if engine_artifact is not None:
+                self._predict_batch = self._load_int8_artifact(
+                    model, engine_artifact, _nms
+                )
+            else:
+                self._predict_batch = self._build_int8(
+                    model, variables, calibration, _nms
+                )
             return
 
         # Variables are an explicit jit argument: closing over them would bake
@@ -127,11 +136,13 @@ class YOLOInference:
         from yolo_tpu.serving import build_int8_predict
         from yolo_tpu.serving.engine import default_impl
 
+        state = self._int8_state
         if calibration is not None:
             predict, q = build_int8_predict(
                 model, variables, calibration, impl=default_impl(),
                 nms_fn=nms_fn,
             )
+            state["fn"], state["q"] = predict, q
             return lambda images, conf, nms: predict(q, images, conf, nms)
 
         # No calibration data given: calibrate LAZILY on the first real batch
@@ -139,8 +150,6 @@ class YOLOInference:
         # synthetic-noise-derived scales (silent clipping on real
         # checkpoints), so deferring to genuine data beats a noise default;
         # the engine build just moves to the first predict call.
-        state: dict = {}
-
         def lazy_predict(images, conf, nms):
             if "fn" not in state:
                 n_calib = int(jnp.shape(images)[0])
@@ -164,6 +173,43 @@ class YOLOInference:
             return state["fn"](state["q"], images, conf, nms)
 
         return lazy_predict
+
+    def _load_int8_artifact(self, model, path, nms_fn):
+        """Deployment path: restore a saved engine (serving/export.py) —
+        no fold, no calibration, and ``variables`` may be None."""
+        from yolo_tpu.serving.engine import default_impl, make_int8_engine_fn
+        from yolo_tpu.serving.export import load_engine
+
+        q, meta = load_engine(path)
+        for attr in ("S", "B", "num_classes"):
+            if getattr(model, attr) != meta[attr]:
+                raise ValueError(
+                    f"engine artifact {path} was exported for {attr}="
+                    f"{meta[attr]} but the model has {getattr(model, attr)}"
+                )
+        fn = make_int8_engine_fn(
+            meta["S"], meta["B"], meta["num_classes"],
+            impl=default_impl(), nms_fn=nms_fn,
+        )
+        self._int8_state.update(fn=fn, q=q)
+        return lambda images, conf, nms: fn(q, images, conf, nms)
+
+    def save_engine(self, path) -> None:
+        """Freeze the built int8 engine's q-params to ``path`` (.npz).
+
+        Requires optimize='int8' and a built engine (explicit calibration,
+        a loaded artifact, or at least one predict through the lazy path).
+        """
+        if "q" not in self._int8_state:
+            raise RuntimeError(
+                "no built int8 engine to save: construct with"
+                " optimize='int8' and either pass calibration= or run one"
+                " predict batch first (lazy calibration)"
+            )
+        from yolo_tpu.serving.export import save_engine as _save
+
+        _save(path, self._int8_state["q"], S=self.model.S, B=self.model.B,
+              num_classes=self.model.num_classes)
 
     # ------------------------------------------------------------------- images
     def load_image(self, image_path: str) -> Image.Image:

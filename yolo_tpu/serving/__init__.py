@@ -23,6 +23,7 @@ from yolo_tpu.serving.quant import (
     quantize_folded,
 )
 from yolo_tpu.serving.engine import build_int8_predict, make_int8_engine_fn
+from yolo_tpu.serving.export import load_engine, save_engine
 
 __all__ = [
     "fold_flagship",
@@ -32,4 +33,6 @@ __all__ = [
     "quantize_folded",
     "build_int8_predict",
     "make_int8_engine_fn",
+    "save_engine",
+    "load_engine",
 ]
