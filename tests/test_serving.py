@@ -453,3 +453,41 @@ def test_save_engine_requires_built_engine(small_flagship):
     eng = YOLOInference(model, variables, image_size=64, optimize="int8")
     with pytest.raises(RuntimeError, match="no built int8 engine"):
         eng.save_engine("/tmp/never.npz")
+
+
+def test_sharded_int8_engine_matches_single_device(small_flagship):
+    """DP-sharded serving == single-device engine, bit-equal: replicated
+    q, batch sharded over 'data', zero collectives in the graph."""
+    from yolo_tpu.parallel import make_mesh
+    from yolo_tpu.parallel.mesh import put_sharded
+    from yolo_tpu.serving.engine import make_sharded_int8_engine_fn
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(70), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(71), (8, 64, 64, 3))
+
+    predict, q = build_int8_predict(model, variables, calib)
+    want = predict(q, images, 0.05, 0.4)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = make_sharded_int8_engine_fn(
+        mesh, model.S, model.B, model.num_classes
+    )
+    got = sharded(q, put_sharded(mesh, images), 0.05, 0.4)
+    # The int8 conv torso is integer-exact per shard; the bf16/f32 FC dot
+    # tiles differently at per-device batch size, so sub-threshold grid
+    # values can differ in the last ulp. The serving contract is the
+    # detection SET: identical valid masks, and identical detections on
+    # the valid slots (float-tolerant on box coords/scores).
+    va, vb = np.asarray(want.valid), np.asarray(got.valid)
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_array_equal(
+        np.asarray(want.class_ids)[va], np.asarray(got.class_ids)[vb]
+    )
+    np.testing.assert_allclose(
+        np.asarray(want.scores)[va], np.asarray(got.scores)[vb], rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(want.boxes)[va], np.asarray(got.boxes)[vb], rtol=1e-4,
+        atol=1e-6,
+    )

@@ -333,6 +333,54 @@ def make_int8_engine_fn(
     return _predict
 
 
+def make_sharded_int8_engine_fn(
+    mesh, S: int, B: int, num_classes: int, impl: Dict | None = None,
+    nms_fn=None,
+):
+    """Data-parallel serving: the int8 engine jitted over a device mesh.
+
+    Inference is embarrassingly parallel over the batch — q-params
+    replicate, images shard over the mesh's 'data' axis, and every device
+    runs the identical forward+decode+NMS on its shard with ZERO
+    cross-device collectives (XLA partitions the whole graph 1:1). This is
+    the multi-chip throughput path a v5e-8 serves with: per-chip batch B/8,
+    aggregate ~8x the single-chip img/s.
+
+    The Mosaic stem-front kernel has no GSPMD partitioning rule, so the
+    sharded engine always uses the (bit-identical) XLA stem front —
+    ``impl["stem_front"]`` is dropped if present. The batch must be
+    divisible by the 'data' axis (pad ragged batches:
+    ``yolo_tpu.data.pad_batch``).
+
+    Returns ``predict(q, images, conf, nms)``; place ``images`` with
+    ``parallel.mesh.put_sharded`` (host arrays are accepted too — jit
+    shards them on the fly).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as _P
+
+    impl = dict(impl or {})
+    impl.pop("stem_front", None)
+    nms_fn = nms_fn or batched_nms
+    n_spatial = _P("data", None, None, None)
+
+    @partial(
+        jax.jit,
+        static_argnames=("conf_threshold", "nms_threshold"),
+        in_shardings=(
+            None,  # q: replicated (resolved against the pytree)
+            NamedSharding(mesh, n_spatial),
+        ),
+    )
+    def _predict(q, images, conf_threshold, nms_threshold):
+        preds = int8_forward(q, images, S=S, impl=impl)
+        dets = decode_predictions(
+            preds.astype(jnp.float32), S, B, num_classes, conf_threshold
+        )
+        return nms_fn(dets, nms_threshold)
+
+    return _predict
+
+
 def build_int8_predict(model, variables, calibration_images, impl=None,
                        nms_fn=None, stem_mode="s2d", fc1_mode="int8"):
     """One-stop build: fold -> calibrate -> quantize -> jitted predict fn.
