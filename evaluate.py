@@ -35,6 +35,12 @@ def parse_args(argv=None):
                    help="evaluate through the int8-resident serving engine "
                         "(yolo_tpu/serving; resnet backbone only); measures "
                         "the deployed-quantized accuracy")
+    p.add_argument("--engine", default=None,
+                   help="evaluate a frozen int8 engine artifact (.npz from "
+                        "predict.py --save-engine / serving.save_engine): "
+                        "exactly what the serving box runs, no fold or "
+                        "calibration (checkpoint still loaded for model "
+                        "geometry)")
     p.add_argument("--calib-data", default=None,
                    help="dataset spec for int8 activation calibration, e.g. "
                         "'2007:trainval' (same --data-root). Default: the "
@@ -148,7 +154,30 @@ def main(argv=None):
             print(f"  {key}: {payload[key]}")
 
     forward_fn = None
-    if args.int8:
+    if args.engine:
+        # Frozen deployment artifact: no fold, no calibration — evaluate
+        # exactly what the serving box runs (serving/export.py).
+        from yolo_tpu.serving.engine import default_impl, int8_forward
+        from yolo_tpu.serving.export import load_engine as load_artifact
+
+        q, meta = load_artifact(args.engine)
+        for attr in ("S", "B", "num_classes"):
+            want = getattr(model, attr)
+            if meta[attr] != want:
+                raise SystemExit(
+                    f"engine artifact {args.engine}: {attr}={meta[attr]}"
+                    f" != model {want}"
+                )
+        impl = default_impl()
+        if args.mesh_data or args.mesh_model > 1:
+            impl.pop("stem_front", None)
+        variables = q
+        print(f"int8 engine artifact: {args.engine}")
+
+        def forward_fn(qparams, images):
+            return int8_forward(qparams, images, S=model.S, impl=impl)
+
+    elif args.int8:
         if args.backbone != "resnet":
             raise SystemExit("--int8 supports the resnet flagship only")
         from yolo_tpu.data.transforms import device_normalize
