@@ -491,3 +491,86 @@ def test_sharded_int8_engine_matches_single_device(small_flagship):
         np.asarray(want.boxes)[va], np.asarray(got.boxes)[vb], rtol=1e-4,
         atol=1e-6,
     )
+
+
+def test_int8_forward_uint8_wire_matches_float(small_flagship):
+    """Raw uint8 RGB input == device-normalized float input, bit-exact:
+    the uint8 wire format only moves ImageNet normalization in-graph."""
+    from yolo_tpu.data.transforms import device_normalize
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(80), (2, 64, 64, 3))]
+    folded = fold_flagship(variables)
+    act_max = calibrate_activations(folded, calib)
+    q = quantize_folded(folded, act_max)
+
+    u8 = jax.random.randint(
+        jax.random.PRNGKey(81), (2, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    want = int8_forward(q, device_normalize(u8), S=model.S)
+    got = int8_forward(q, u8, S=model.S)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # Direct-stem (non-s2d) engine takes the same wire format.
+    q7 = quantize_folded(folded, act_max, stem_mode="direct")
+    want7 = int8_forward(q7, device_normalize(u8), S=model.S)
+    got7 = int8_forward(q7, u8, S=model.S)
+    np.testing.assert_array_equal(np.asarray(got7), np.asarray(want7))
+
+
+def test_pallas_stem_front_uint8(small_flagship):
+    """The stem-front kernel's uint8 path == XLA normalize+quant+s2d
+    (interpret mode; <=1 LSB for mul/add contraction differences)."""
+    from yolo_tpu.data.transforms import device_normalize
+    from yolo_tpu.serving.engine import _quantize_input
+    from yolo_tpu.serving.pallas_stem import quant_s2d_int8
+
+    u8 = jax.random.randint(
+        jax.random.PRNGKey(82), (2, 16, 16, 3), 0, 256, jnp.uint8
+    )
+    s = jnp.float32(0.00934)
+    xq = _quantize_input(device_normalize(u8), s)
+    n, h, w, _ = u8.shape
+    want = (
+        xq.reshape(n, h // 2, 2, w // 2, 2, 3)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 12)
+    )
+    got = quant_s2d_int8(u8, s, interpret=True)
+    diff = np.abs(
+        np.asarray(got, np.int32) - np.asarray(want, np.int32)
+    )
+    assert diff.max() <= 1, f"uint8 stem kernel max LSB diff {diff.max()}"
+
+
+def test_yoloinference_uint8_wire(small_flagship):
+    """YOLOInference accepts uint8 batches on both engines; detections
+    match the normalized-float call."""
+    from yolo_tpu.data.transforms import device_normalize
+    from yolo_tpu.inference import YOLOInference
+
+    model, variables = small_flagship
+    u8 = jax.random.randint(
+        jax.random.PRNGKey(83), (2, 64, 64, 3), 0, 256, jnp.uint8
+    )
+    f32 = device_normalize(u8)
+
+    eng = YOLOInference(model, variables, image_size=64)
+    want = eng.predict_batch_arrays(f32, 0.01, 0.4)
+    got = eng.predict_batch_arrays(u8, 0.01, 0.4)
+    np.testing.assert_array_equal(np.asarray(want.valid), np.asarray(got.valid))
+    np.testing.assert_allclose(
+        np.asarray(want.scores), np.asarray(got.scores), rtol=1e-4, atol=1e-5
+    )
+
+    # int8 engine, lazy calibration on the uint8 batch itself: scales must
+    # come from NORMALIZED data (a raw 0..255 calibration would blow s_img
+    # up ~100x and zero out the quantized activations).
+    eng8 = YOLOInference(model, variables, image_size=64, optimize="int8")
+    dets = eng8.predict_batch_arrays(u8, 0.01, 0.4)
+    assert dets.boxes.shape[0] == 2
+    s_img = float(eng8._int8_state["q"]["s_img"])
+    want_s = float(jnp.max(jnp.abs(f32)) / 127.0)
+    # bf16 calibration rounding allows small drift; the failure mode being
+    # ruled out is the ~100x raw-0..255 scale.
+    assert abs(s_img - want_s) / want_s < 0.01

@@ -3,14 +3,23 @@
 
 bench.py measures pure device time of one batch (the chip's capability).
 This harness measures what a serving process actually sustains WALL-CLOCK:
-a host thread prepares/normalizes batches while the device runs, and up to
-``--depth`` predictions stay in flight (jax async dispatch), so host work,
-transfer, and compute overlap. On the axon tunnel the per-call ~200 ms RTT
-makes un-pipelined serving ~5x slower than the device time; depth-2
-pipelining hides it (the production pattern for a TPU serving binary).
+batches are fed from host memory while up to ``--depth`` predictions stay in
+flight (jax async dispatch), so transfer and compute overlap. It reports
 
-Usage: python tools/serve_bench.py [--batch 256] [--steps 24] [--depth 2]
-       [--engine artifact.npz]
+  resident   — device-resident input, serial: the chip capability + RTT
+  wire=X d=N — fresh host batch shipped every step at pipeline depth N
+
+The serving wire format is raw resized uint8 RGB (``--wire uint8``, the
+default): 1 byte/pixel, ImageNet normalization + input quantization fused
+into the engine graph (serving/engine.py::_normalize_if_uint8). That is 4x
+less link traffic than float32 — on the axon tunnel (~35 MB/s measured with
+forced host fetches; block_until_ready can ack early, so trust only fetch-
+gated timings) the feed dominates either way, while on a production host
+(PCIe gen3 x16 ~16 GB/s) uint8 feeds 4,239 img/s with ~25x headroom vs ~6x
+for float32.
+
+Usage: python tools/serve_bench.py [--batch 256] [--steps 8] [--depth 2]
+       [--wire uint8|f32] [--engine artifact.npz]
 """
 
 from __future__ import annotations
@@ -27,9 +36,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--depth", type=int, default=2,
                     help="max in-flight predictions (1 = fully synchronous)")
+    ap.add_argument("--wire", choices=("uint8", "f32"), default="uint8",
+                    help="host->device batch format (uint8 = raw resized "
+                         "RGB, normalized in-graph; 4x less link traffic)")
     ap.add_argument("--engine", default=None,
                     help="frozen engine artifact (.npz); default builds "
                          "from random-init weights")
@@ -66,20 +78,39 @@ def main():
         engine = YOLOInference(model, variables, image_size=sz,
                                optimize="int8", calibration=calib)
 
-    # Host batches: pre-generated numpy (stands in for the decode/normalize
-    # pipeline's output; the loader thread cost is measured by the wall gap
-    # between depths, not simulated here).
+    # Host batches: pre-generated numpy in the wire format (stands in for
+    # the decode/resize pipeline's output).
     rng = np.random.default_rng(0)
-    host_batches = [
-        rng.standard_normal((b, sz, sz, 3), dtype=np.float32)
-        for _ in range(4)
-    ]
+    if args.wire == "uint8":
+        host_batches = [
+            rng.integers(0, 256, (b, sz, sz, 3), dtype=np.uint8)
+            for _ in range(2)
+        ]
+    else:
+        host_batches = [
+            rng.standard_normal((b, sz, sz, 3)).astype(np.float32)
+            for _ in range(2)
+        ]
+    per_batch_mb = host_batches[0].nbytes / 1e6
+
+    # Warmup/compile outside every timed window (one graph per wire format).
+    warm = engine.predict_batch_arrays(jnp.asarray(host_batches[0]), 0.25, 0.4)
+    jax.block_until_ready(warm)
+
+    # Device-resident capability: no feed, serial dispatch.
+    resident = jnp.asarray(host_batches[0])
+    jax.block_until_ready(engine.predict_batch_arrays(resident, 0.25, 0.4))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        jax.block_until_ready(
+            engine.predict_batch_arrays(resident, 0.25, 0.4)
+        )
+    wall = time.perf_counter() - t0
+    print(f"resident: {args.steps * b / wall:7.0f} img/s "
+          f"({wall / args.steps * 1e3:.0f} ms/step; device capability + RTT)")
 
     def run(depth: int) -> float:
         inflight: deque = deque()
-        # Warmup/compile outside the timed window.
-        d = engine.predict_batch_arrays(jnp.asarray(host_batches[0]), 0.25, 0.4)
-        jax.block_until_ready(d)
         t0 = time.perf_counter()
         for i in range(args.steps):
             x = jnp.asarray(host_batches[i % len(host_batches)])
@@ -93,8 +124,10 @@ def main():
     for depth in sorted({1, args.depth}):
         wall = run(depth)
         rate = args.steps * b / wall
-        print(f"depth={depth}: {wall:.2f} s for {args.steps}x{b} images "
-              f"-> {rate:.0f} img/s sustained (wall)")
+        feed = args.steps * per_batch_mb / wall
+        print(f"wire={args.wire} depth={depth}: {rate:7.0f} img/s sustained "
+              f"({wall:.1f} s wall for {args.steps}x{b}; "
+              f"feed {feed:.0f} MB/s of {per_batch_mb:.0f} MB/batch)")
 
 
 if __name__ == "__main__":
