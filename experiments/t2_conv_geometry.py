@@ -18,6 +18,17 @@ stride as channel packing helps *within XLA*:
                     the best case.
 
 Usage: python experiments/t2_conv_geometry.py [--batch 256]
+
+RESULT (v5e-1, b256, round 3): re-expression inside XLA does NOT fix the
+strided shape class.
+    l2 (112^2, C=128):  (a) 2.558 ms  (b) 2.815  (c) 2.891
+    l3 (56^2,  C=256):  (a) 1.438 ms  (b) 1.852  (c) 1.091
+l2 — the biggest strided residual — is fastest in the plain strided form;
+both packings lose. l3's full-packed win (0.35 ms) is smaller than the real
+row-relayout it needs (~0.5 ms of int8 traffic at that scale, and the s2d
+permutation cannot ride a dot epilogue), so it nets negative too. Together
+with the Pallas dense-dot kernel's e2e loss (PARITY.md), the transition
+slack is confirmed compiler-bound from every direction tried.
 """
 
 from __future__ import annotations

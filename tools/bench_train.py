@@ -23,7 +23,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def bench_step(batch: int, remat=False) -> None:
+def bench_step(batch: int, remat=False, fused_bn=False) -> None:
     import jax
     import jax.numpy as jnp
 
@@ -40,7 +40,8 @@ def bench_step(batch: int, remat=False) -> None:
     dtype = jnp.bfloat16
     model = YOLOv1(
         num_classes=20, S=7, B=2,
-        backbone=ResNetBackbone(dtype=dtype, remat=remat), dtype=dtype,
+        backbone=ResNetBackbone(dtype=dtype, remat=remat, fused_bn=fused_bn),
+        dtype=dtype,
     )
     tx = make_optimizer(1e-4, 5e-4, milestones_steps=[10**9])
     trainer = Trainer(model, tx)
@@ -82,7 +83,7 @@ def bench_step(batch: int, remat=False) -> None:
         )
     if total_us > 0:
         ms = total_us / 1e3 / iters
-        tag = f", remat={remat}" if remat else ""
+        tag = (f", remat={remat}" if remat else "") + (", fused-bn" if fused_bn else "")
         print(
             f"train step (b{batch}, 448^2, bf16{tag}): {ms:.1f} ms device"
             f" -> {batch / ms * 1e3:.0f} img/s/chip"
@@ -127,8 +128,10 @@ def main():
     p.add_argument("--num-workers", type=int, default=16)
     p.add_argument("--remat", nargs="?", const="block", default=False,
                    choices=["block", "stage"])
+    p.add_argument("--fused-bn", action="store_true",
+                   help="Pallas fused BN(+residual)+ReLU train path")
     args = p.parse_args()
-    bench_step(args.batch, remat=args.remat)
+    bench_step(args.batch, remat=args.remat, fused_bn=args.fused_bn)
     bench_pipeline(args.data_root, args.batch, args.num_workers)
 
 

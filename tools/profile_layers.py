@@ -52,6 +52,13 @@ def main():
                     help="profile the int8 serving engine (XLA convs)")
     ap.add_argument("--int8-pallas", action="store_true",
                     help="profile the int8 engine with Pallas bottlenecks")
+    ap.add_argument("--train", action="store_true",
+                    help="profile the jitted optimizer step instead of "
+                         "inference (companion to tools/bench_train.py)")
+    ap.add_argument("--remat", nargs="?", const="block", default=False,
+                    choices=["block", "stage"])
+    ap.add_argument("--fused-bn", action="store_true",
+                    help="with --train: use the Pallas fused BN+ReLU path")
     ap.add_argument("--image-size", type=int, default=448)
     args = ap.parse_args()
 
@@ -71,6 +78,44 @@ def main():
     from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
 
     dtype = jnp.bfloat16
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(1), (args.batch, args.image_size, args.image_size, 3),
+        dtype,
+    )
+    jax.block_until_ready(imgs)
+    if args.train:
+        # NOTE: branch BEFORE any inference-model init — a stale fp32
+        # variables copy (~1.1 GB, fc1-dominated) pushed the b128 fused-BN
+        # step over the HBM edge (RESOURCE_EXHAUSTED).
+        from yolo_tpu.training import Trainer, make_optimizer
+
+        model = YOLOv1(
+            num_classes=20, S=7, B=2,
+            backbone=ResNetBackbone(
+                dtype=dtype, remat=args.remat, fused_bn=args.fused_bn
+            ),
+            dtype=dtype,
+        )
+        tx = make_optimizer(1e-4, 5e-4, milestones_steps=[10**9])
+        trainer = Trainer(model, tx)
+        state = trainer.create_state(
+            jax.random.PRNGKey(0), image_size=args.image_size
+        )
+        targets = jnp.zeros((args.batch, 7, 7, 30), jnp.float32)
+        targets = targets.at[:, 3, 3, 0:5].set(
+            jnp.asarray([0.5, 0.5, 0.2, 0.2, 1.0])
+        )
+        targets = targets.at[:, 3, 3, 17].set(1.0)
+        state, parts = trainer._train_step(state, imgs, targets)  # compile
+        float(parts["total"])
+
+        trace_dir = "/tmp/yolo_tpu_layer_trace_train"
+        with jax.profiler.trace(trace_dir):
+            for _ in range(args.iters):
+                state, parts = trainer._train_step(state, imgs, targets)
+            float(parts["total"])
+        report(args, collect_events(trace_dir), "jit_train_step")
+        return
     model = YOLOv1(
         num_classes=20, S=7, B=2,
         backbone=ResNetBackbone(dtype=dtype, quantized=args.quantized),
@@ -79,11 +124,6 @@ def main():
     variables = init_model(
         model, jax.random.PRNGKey(0), image_size=args.image_size
     )
-    imgs = jax.random.normal(
-        jax.random.PRNGKey(1), (args.batch, args.image_size, args.image_size, 3),
-        dtype,
-    )
-    jax.block_until_ready(imgs)
     if args.int8 or args.int8_pallas:
         from yolo_tpu.serving import build_int8_predict
 
@@ -110,7 +150,10 @@ def main():
             jax.block_until_ready(out)
         float(jnp.sum(out.scores))
 
-    events = collect_events(trace_dir)
+    report(args, collect_events(trace_dir), module_prefix)
+
+
+def report(args, events, module_prefix):
     # Steady-state module events only.
     module = [e for e in events if e.get("name", "").startswith(module_prefix)]
     total_us = sum(e["dur"] for e in module)

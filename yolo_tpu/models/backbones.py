@@ -81,6 +81,12 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    # False (production) | True/"stats" (Pallas stat reduction, XLA-fused
+    # bwd) | "full" (whole-BN Pallas custom_vjp). BOTH Pallas modes measured
+    # slower e2e than unfused XLA at b128/448² (480 / 337 vs 509 img/s —
+    # PARITY.md "Fused-BN experiment"); kept as a tested reference
+    # implementation, off by default. See ops/fused_bn.py.
+    fused_bn: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -88,6 +94,30 @@ class Bottleneck(nn.Module):
         q = self.quantized
         out = Conv(self.planes, 1, use_bias=False, dtype=self.dtype,
                    quantized=q, name="conv1")(x)
+        if self.fused_bn:
+            from yolo_tpu.models.layers import FusedBatchNormAct
+
+            mode = "full" if self.fused_bn == "full" else "stats"
+            bn = lambda name, relu=True: FusedBatchNormAct(  # noqa: E731
+                relu=relu, dtype=self.dtype, mode=mode, name=name
+            )
+            out = bn("bn1")(out, train)
+            out = Conv(
+                self.planes, 3, self.stride, 1, use_bias=False,
+                dtype=self.dtype, quantized=q, name="conv2",
+            )(out)
+            out = bn("bn2")(out, train)
+            out = Conv(
+                self.planes * 4, 1, use_bias=False, dtype=self.dtype,
+                quantized=q, name="conv3",
+            )(out)
+            if self.downsample:
+                identity = Conv(
+                    self.planes * 4, 1, self.stride, use_bias=False,
+                    dtype=self.dtype, quantized=q, name="downsample_conv",
+                )(x)
+                identity = bn("downsample_bn", relu=False)(identity, train)
+            return bn("bn3")(out, train, residual=identity)
         out = BatchNorm(dtype=self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
         out = Conv(
@@ -139,13 +169,28 @@ class ResNetBackbone(Backbone):
     #                   at-least-once-needed) input, freeing every per-block
     #                   112^2/56^2 tensor for large-batch training.
     remat: bool | str = False
+    # Pallas BN train path (ops/fused_bn.py): True/"stats" computes batch
+    # statistics in a Pallas kernel (backward stays XLA-fused); "full" runs
+    # the whole BN(+residual)+ReLU through Pallas custom_vjp kernels. Both
+    # measured SLOWER e2e than unfused XLA at flagship scale (PARITY.md
+    # "Fused-BN experiment") — off by default, kept as a tested reference.
+    fused_bn: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = Conv(64, 7, 2, 3, use_bias=False, dtype=self.dtype,
                  quantized=self.quantized, name="conv1")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
-        x = nn.relu(x)
+        if self.fused_bn:
+            from yolo_tpu.models.layers import FusedBatchNormAct
+
+            x = FusedBatchNormAct(
+                dtype=self.dtype,
+                mode="full" if self.fused_bn == "full" else "stats",
+                name="bn1",
+            )(x, train)
+        else:
+            x = BatchNorm(dtype=self.dtype, name="bn1")(x, train)
+            x = nn.relu(x)
         x = max_pool(x, 3, 2, 1)
         mode = (
             self.remat
@@ -170,6 +215,7 @@ class ResNetBackbone(Backbone):
                     downsample=block == 0,
                     dtype=mdl.dtype,
                     quantized=mdl.quantized,
+                    fused_bn=mdl.fused_bn,
                     name=f"layer{stage + 1}_block{block}",
                 )(x, train)
             return x

@@ -175,6 +175,95 @@ class Dense(nn.Module):
         )(x)
 
 
+class FusedBatchNormAct(nn.Module):
+    """BatchNorm(+residual)+ReLU backed by the Pallas kernels in
+    ops/fused_bn.py for the train path.
+
+    Parameter/collection layout is IDENTICAL to ``BatchNorm`` (params
+    scale/bias, batch_stats mean/var, torch defaults eps 1e-5 / linen
+    momentum 0.9), so checkpoints are interchangeable with the unfused
+    modules — ``fused_bn`` is a runtime performance switch, not a model
+    change. Eval mode uses plain XLA elementwise math (running stats are
+    per-channel constants; XLA fuses that chain fine — the train-mode
+    batch-stat reductions are what run 2-6x off HBM peak,
+    tools/profile_layers.py --train).
+    """
+
+    relu: bool = True
+    dtype: jnp.dtype = jnp.float32
+    # Both modes measured slower e2e than unfused XLA at b128/448²
+    # (PARITY.md "Fused-BN experiment") — this module is opt-in only.
+    mode: str = "stats"  # "stats" (Pallas stats only) | "full" (custom_vjp)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 residual: jnp.ndarray | None = None) -> jnp.ndarray:
+        # Same checkpoint path as the unfused ``BatchNorm`` wrapper (whose
+        # inner nn.BatchNorm lands at <name>/BatchNorm_0/...).
+        return _FusedBNCore(
+            relu=self.relu, dtype=self.dtype, mode=self.mode,
+            name="BatchNorm_0",
+        )(x, train, residual)
+
+
+class _FusedBNCore(nn.Module):
+    relu: bool
+    dtype: jnp.dtype
+    mode: str = "stats"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 residual: jnp.ndarray | None = None) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train and not self.is_initializing():
+            if self.mode == "stats":
+                # Pallas stat reduction only: strips the reduce epilogue
+                # off the producing conv (XLA runs those fusions 2-4x over
+                # the conv floor) while the normalize and the WHOLE
+                # backward stay XLA-fused (the jnp custom-VJP of the stats
+                # fuses into the BN backward chain). See ops/fused_bn.py.
+                from yolo_tpu.ops.fused_bn import bn_stats_diff
+
+                mean, var = bn_stats_diff(x)
+                mul = lax.rsqrt(var + 1e-5) * scale
+                y = ((x.astype(jnp.float32) - mean) * mul + bias).astype(
+                    self.dtype
+                )
+                if residual is not None:
+                    y = y + residual
+                out = nn.relu(y) if self.relu else y
+            else:
+                from yolo_tpu.ops.fused_bn import fused_bn_act
+
+                out, mean, var = fused_bn_act(
+                    x, scale, bias, residual=residual, relu=self.relu
+                )
+            ra_mean.value = (
+                0.9 * ra_mean.value + 0.1 * lax.stop_gradient(mean)
+            )
+            ra_var.value = (
+                0.9 * ra_var.value + 0.1 * lax.stop_gradient(var)
+            )
+            return out
+        # Eval (and the shape-only init trace): running-stat normalize, in
+        # flax.linen.BatchNorm's exact op order (f32 math, cast to dtype).
+        mul = lax.rsqrt(ra_var.value + 1e-5) * scale
+        y = ((x.astype(jnp.float32) - ra_mean.value) * mul + bias).astype(
+            self.dtype
+        )
+        if residual is not None:
+            y = y + residual
+        return nn.relu(y) if self.relu else y
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1).
 
