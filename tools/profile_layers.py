@@ -158,18 +158,30 @@ def report(args, events, module_prefix):
     module = [e for e in events if e.get("name", "").startswith(module_prefix)]
     total_us = sum(e["dur"] for e in module)
     per_op = collections.Counter()
+    counts = collections.Counter()
     samples = {}
     for e in events:
         name = e.get("name", "")
-        if name.startswith("jit_"):
+        # Skip the whole-module events (each iteration's jit program run):
+        # they duplicate the sum of their sub-ops and previously polluted
+        # the per-op table/percentages.
+        if name.startswith("jit_") or name.startswith(module_prefix):
             continue
+        if name.isdigit():
+            continue  # per-iteration module rows on some runtimes
         per_op[name] += e["dur"]
+        counts[name] += 1
         if name not in samples:
             samples[name] = e.get("args", {})
     print(f"module total: {total_us} us over {args.iters} iters "
           f"-> {total_us / args.iters / 1e3:.2f} ms/iter, "
           f"{args.batch * args.iters / (total_us / 1e6):.0f} img/s")
-    print(f"{'op':<60} {'us':>10} {'%':>6}")
+    # NOTE: durations are reported PER ITERATION (sum over the trace divided
+    # by --iters). Earlier revisions printed the raw multi-iteration sum,
+    # which inflated every per-op cost by the iteration count and led to a
+    # 4x-overstated BN-chain slack estimate (PARITY.md "Fused-BN
+    # experiment" records the correction).
+    print(f"{'op':<60} {'ms/iter':>9} {'%':>6}")
     op_total = sum(per_op.values())
     for name, dur in per_op.most_common(args.top):
         meta = samples[name]
@@ -178,7 +190,8 @@ def report(args, events, module_prefix):
             if meta.get(k):
                 extra = str(meta[k])[:200]
                 break
-        print(f"{name:<60} {dur:>10} {dur / max(op_total, 1) * 100:>5.1f} {extra}")
+        print(f"{name:<60} {dur / args.iters / 1e3:>9.3f} "
+              f"{dur / max(op_total, 1) * 100:>5.1f} {extra}")
 
 
 if __name__ == "__main__":

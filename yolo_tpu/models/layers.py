@@ -184,9 +184,10 @@ class FusedBatchNormAct(nn.Module):
     momentum 0.9), so checkpoints are interchangeable with the unfused
     modules — ``fused_bn`` is a runtime performance switch, not a model
     change. Eval mode uses plain XLA elementwise math (running stats are
-    per-channel constants; XLA fuses that chain fine — the train-mode
-    batch-stat reductions are what run 2-6x off HBM peak,
-    tools/profile_layers.py --train).
+    per-channel constants; XLA fuses that chain fine — only the train-mode
+    batch-stat/backward reductions carry any slack, and per-iter it is a
+    modest ~1.3-1.6x over their bandwidth floors, tools/profile_layers.py
+    --train; see PARITY.md "Fused-BN experiment").
     """
 
     relu: bool = True
@@ -226,10 +227,10 @@ class _FusedBNCore(nn.Module):
         if train and not self.is_initializing():
             if self.mode == "stats":
                 # Pallas stat reduction only: strips the reduce epilogue
-                # off the producing conv (XLA runs those fusions 2-4x over
-                # the conv floor) while the normalize and the WHOLE
+                # off the producing conv while the normalize and the WHOLE
                 # backward stay XLA-fused (the jnp custom-VJP of the stats
-                # fuses into the BN backward chain). See ops/fused_bn.py.
+                # fuses into the BN backward chain). Measured slower e2e
+                # than unfused — see ops/fused_bn.py OUTCOME.
                 from yolo_tpu.ops.fused_bn import bn_stats_diff
 
                 mean, var = bn_stats_diff(x)

@@ -9,15 +9,15 @@ passes it already makes — a standalone pass at 0.85x peak cannot beat a
 fused one at ~0x marginal cost. Kept, tested, and off by default as the
 written record of that measurement.
 
-Why it was attempted (measured — tools/profile_layers.py --train):
-the b128/448² flagship train step spends ~100 ms/iter in XLA's BN-chain
-fusions (batch-stat reductions, normalize/scale/relu passes, and their
-backward) running at 130–330 GB/s against an 819 GB/s HBM peak, plus
-~13 ms/iter of compiler auto-remat re-running layer1/stem convs because the
-no-remat activation set sits at the HBM capacity edge. These are pure VPU
-streaming passes — the regime where a hand-scheduled Pallas kernel reaches
-peak bandwidth (unlike the N=64 MXU dot geometries where Pallas
-demonstrably loses to XLA's conv path, PARITY.md).
+Why it was attempted — and the measurement error that oversold it: the
+original tools/profile_layers.py --train reading put ~100 ms/iter in XLA's
+BN-chain fusions at 130–330 GB/s. That reading treated 4-iteration trace
+SUMS as per-iteration durations (tool since fixed to divide by --iters);
+the true per-iter BN-chain cost is ~25 ms running at ~1.3–1.6x over each
+fusion's bandwidth floor — i.e. ~6–10 ms/step of real slack, which is less
+than the extra standalone read passes these kernels add. The corrected
+profile is consistent with the e2e outcome above and with the step's 0.87x
+of the derived compiler bound (PARITY.md training section).
 
 Semantics match ``flax.linen.BatchNorm(momentum=0.9, epsilon=1e-5)`` in
 train mode (reference: torch BatchNorm2d defaults, src/yolo/models.py
@@ -334,14 +334,10 @@ def bn_stats_diff(x):
     MEASURED NET LOSS e2e (480 vs 509 img/s, module docstring): stripping
     the stat epilogue did not speed the convs enough to pay for the extra
     full read of x this kernel adds. Retained as the experiment record.
-
-    Baseline measurement (tools/profile_layers.py --train, b128/448²): XLA
-    fuses the BN stat reductions into the producing conv's epilogue, and
-    those conv+reduce fusions run ~2-4x over the conv's own floor (e.g.
-    layer1 conv3+stats 5.8 ms vs ~1.5 ms conv floor; the few standalone
-    stat fusions run at 130 GB/s = 0.16x peak) — ~25-30 ms/step of slack.
-    Computing stats in this kernel strips the reduce epilogue off the conv
-    (which then runs clean) and streams the read at ~0.85x peak.
+    (The "~25-30 ms/step of conv-epilogue slack" estimate that motivated
+    this variant came from the 4x-inflated profile reading described in
+    the module docstring; per-iter the conv+stats fusions run ~1.3-1.6x
+    over their conv floors — too little to pay for an added full pass.)
 
     The VJP is pure jnp — d/dx of (mean, var) is a per-channel affine of x,
     ``(dmean − 2·mean·dvar)/M + x·(2·dvar/M)`` — so XLA fuses the backward
