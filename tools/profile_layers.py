@@ -158,7 +158,6 @@ def report(args, events, module_prefix):
     module = [e for e in events if e.get("name", "").startswith(module_prefix)]
     total_us = sum(e["dur"] for e in module)
     per_op = collections.Counter()
-    counts = collections.Counter()
     samples = {}
     for e in events:
         name = e.get("name", "")
@@ -170,12 +169,15 @@ def report(args, events, module_prefix):
         if name.isdigit():
             continue  # per-iteration module rows on some runtimes
         per_op[name] += e["dur"]
-        counts[name] += 1
         if name not in samples:
             samples[name] = e.get("args", {})
-    print(f"module total: {total_us} us over {args.iters} iters "
-          f"-> {total_us / args.iters / 1e3:.2f} ms/iter, "
-          f"{args.batch * args.iters / (total_us / 1e6):.0f} img/s")
+    if total_us > 0:
+        print(f"module total: {total_us} us over {args.iters} iters "
+              f"-> {total_us / args.iters / 1e3:.2f} ms/iter, "
+              f"{args.batch * args.iters / (total_us / 1e6):.0f} img/s")
+    else:
+        print(f"module total: no events matched prefix {module_prefix!r}; "
+              "per-op table below still covers all traced ops")
     # NOTE: durations are reported PER ITERATION (sum over the trace divided
     # by --iters). Earlier revisions printed the raw multi-iteration sum,
     # which inflated every per-op cost by the iteration count and led to a
