@@ -574,3 +574,133 @@ def test_yoloinference_uint8_wire(small_flagship):
     # bf16 calibration rounding allows small drift; the failure mode being
     # ruled out is the ~100x raw-0..255 scale.
     assert abs(s_img - want_s) / want_s < 0.01
+
+
+# ------------------------------------------------------------------ winograd
+def test_winograd_algebra_matches_direct_conv():
+    """Exact integer taps x UNQUANTIZED weight taps == the direct f32 conv.
+
+    Isolates the F(2,3) transform matrices, tiling, and tile scatter from
+    quantization (incl. the odd-dim pad/crop path at h=7).
+    """
+    from yolo_tpu.serving import winograd as W
+    from jax import lax
+
+    rng = np.random.default_rng(0)
+    for h in (14, 7, 8):
+        n, c, k = 2, 16, 24
+        x_q = jnp.asarray(rng.integers(-127, 128, (n, h, h, c)), jnp.int8)
+        w = jnp.asarray(rng.normal(size=(3, 3, c, k)), jnp.float32)
+        th = (h + 1) // 2
+        taps = W.input_taps_i32(x_q, th)
+        v = jnp.stack(
+            [t.reshape(n * th * th, c).astype(jnp.float32) for t in taps]
+        )
+        u = jnp.einsum("ai,bj,ijck->abck", jnp.asarray(W.G), jnp.asarray(W.G),
+                       w).reshape(16, c, k)
+        m = jnp.einsum("tmc,tck->tmk", v, u)
+        a2 = jnp.asarray(
+            np.einsum("ra,sb->rsab", W.A_T, W.A_T).reshape(4, 16)
+        )
+        y = jnp.einsum("pt,tmk->pmk", a2, m)
+        y = (y.reshape(2, 2, n, th, th, k).transpose(2, 3, 0, 4, 1, 5)
+             .reshape(n, 2 * th, 2 * th, k)[:, :h, :h])
+        ref = lax.conv_general_dilated(
+            x_q.astype(jnp.float32), w, (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref),
+            rtol=1e-5, atol=1e-3 * float(jnp.max(jnp.abs(ref))),
+        )
+
+
+def test_winograd_int8_conv_tracks_direct_int8():
+    """The per-tap int8 path stays within a few LSB of the fp32 truth."""
+    from jax import lax
+
+    from yolo_tpu.serving import winograd as W
+    from yolo_tpu.serving.engine import _conv_i8, _requant
+    from yolo_tpu.serving.quant import _layer
+
+    rng = np.random.default_rng(1)
+    n, h, c, k = 4, 14, 64, 32
+    s_in, s_out = 0.05, 0.08
+    x_q = jnp.asarray(rng.integers(-127, 128, (n, h, h, c)), jnp.int8)
+    w = jnp.asarray(rng.normal(size=(3, 3, c, k)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(k,)) * 0.5, jnp.float32)
+    qc = dict(_layer(w, b, s_in, s_out))
+    x_f = x_q.astype(jnp.float32) * s_in
+    qc["wino"] = W.wino_quantize(w, b, s_in, s_out, W.tap_maxima(x_f))
+
+    y_wino = W.conv3x3_wino_rq(x_q, qc, leaky=True)
+    y_dir = _requant(_conv_i8(x_q, qc["wq"], 1, 1), qc["m"], qc["t"],
+                     leaky=True)
+    ref = lax.conv_general_dilated(
+        x_f, w, (1, 1), [(1, 1)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    ref = jnp.where(ref > 0, ref, 0.1 * ref)
+    ref_q = np.clip(np.round(np.asarray(ref) / s_out), -127, 127)
+
+    d_dir = np.abs(np.asarray(y_dir, np.int32) - ref_q)
+    d_wino = np.abs(np.asarray(y_wino, np.int32) - ref_q)
+    # Direct int8 lands within ~4 LSB on this data; the Winograd path adds
+    # bounded per-tap rounding on top. Both are far from the ±127 range.
+    assert d_dir.max() <= 6
+    assert d_wino.max() <= 12
+    assert d_wino.mean() <= 1.5
+
+
+def test_engine_wino_impl_tracks_default(small_flagship):
+    """build_int8_predict(wino=...) wires calibration+params+hooks e2e."""
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(6), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(7), (2, 64, 64, 3))
+
+    predict0, q0 = build_int8_predict(model, variables, calib)
+    # head convs at 2² (conv1, even) and 1² (conv3/4, odd-crop path);
+    # l1b0 is the one stride-1 conv2 block in the 1-block-per-stage config.
+    wino = ("head_conv1", "head_conv3", "head_conv4", "l1b0_conv2")
+    predict1, q1 = build_int8_predict(model, variables, calib, wino=wino)
+    assert "wino" in q1["head"]["conv1"] and "wino" in q1["head"]["conv3"]
+    assert "wino" in q1["layers"][0][0]["conv2"]
+
+    d0 = predict0(q0, images, 0.01, 0.4)
+    d1 = predict1(q1, images, 0.01, 0.4)
+    # Same engine up to bounded tap-rounding: scores of the two detection
+    # sets stay tightly correlated.
+    s0 = np.asarray(d0.scores, np.float32).ravel()
+    s1 = np.asarray(d1.scores, np.float32).ravel()
+    assert s0.shape == s1.shape
+    corr = np.corrcoef(s0, s1)[0, 1]
+    assert corr > 0.95, f"wino/default score correlation {corr}"
+
+
+def test_pallas_wino_matches_xla_wino_interpret():
+    """The fused Pallas Winograd kernel == the XLA wino path (interpret).
+
+    Same taps, same per-tap scales, same epilogue; f32 op-order in the
+    inverse transform may differ by 1 LSB after the round-to-int8.
+    """
+    from yolo_tpu.serving import winograd as W
+    from yolo_tpu.serving.pallas_wino import conv3x3_wino_pallas
+    from yolo_tpu.serving.quant import _layer
+
+    rng = np.random.default_rng(3)
+    for h, c, k, leaky in ((8, 128, 256, True), (14, 64, 128, False)):
+        n = 4
+        s_in, s_out = 0.04, 0.07
+        x_q = jnp.asarray(rng.integers(-127, 128, (n, h, h, c)), jnp.int8)
+        w = jnp.asarray(rng.normal(size=(3, 3, c, k)) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(k,)) * 0.5, jnp.float32)
+        qc = dict(_layer(w, b, s_in, s_out))
+        x_f = x_q.astype(jnp.float32) * s_in
+        qc["wino"] = W.wino_quantize(w, b, s_in, s_out, W.tap_maxima(x_f))
+
+        y_xla = W.conv3x3_wino_rq(x_q, qc, leaky=leaky)
+        y_pl = conv3x3_wino_pallas(x_q, qc, leaky=leaky, img_chunk=2,
+                                   interpret=True)
+        d = np.abs(np.asarray(y_pl, np.int32) - np.asarray(y_xla, np.int32))
+        assert d.max() <= 1, f"h={h}: max delta {d.max()}"
+        assert (d > 0).mean() < 0.01

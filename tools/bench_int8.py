@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--t2-stages", default="2;3;2,3",
                     help="';'-separated stage lists for the Pallas "
                          "transition-conv2 variant, e.g. '2;3;2,3'")
+    ap.add_argument("--wino-spec",
+                    default="head_conv1;head_conv1,head_conv3,head_conv4",
+                    help="';'-separated comma-lists of convs for the "
+                         "Winograd variant, e.g. 'head_conv1;l3b1_conv2'")
     ap.add_argument("--retile-spec", default="layer2:2",
                     help="stage:tiles list for the retile variant, e.g. "
                          "'layer2:2,layer3:2'")
@@ -106,6 +110,20 @@ def main():
             t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
                                iters=args.iters, tag="int8cp")
             results[f"int8+colpack({spec})"] = t
+
+    if "wino" in variants:
+        # Per-tap int8 Winograd F(2,3) on compute-bound 3x3/s1 convs
+        # (serving/winograd.py; NOT bit-exact — accuracy gated separately
+        # by tools/quant_accuracy.py --wino).
+        from yolo_tpu.serving.engine import default_impl
+
+        for spec in args.wino_spec.split(";"):
+            wino = tuple(spec.split(","))
+            predict, q = build_int8_predict(model, variables, calib,
+                                            impl=default_impl(), wino=wino)
+            t = device_time_ms(lambda im: predict(q, im, 0.25, 0.4), imgs,
+                               iters=args.iters, tag="int8wg")
+            results[f"int8+wino({spec})"] = t
 
     if "retile" in variants:
         impl = {"conv2_tiles": {

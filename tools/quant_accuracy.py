@@ -91,6 +91,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--pallas", action="store_true",
                     help="also run the Pallas fused-bottleneck variant")
+    ap.add_argument("--wino", default="",
+                    help="comma-list of convs to also gate via the per-tap "
+                         "int8 Winograd path, e.g. "
+                         "'head_conv1,head_conv3,head_conv4'")
     args = ap.parse_args()
 
     from yolo_tpu.utils.platform import (
@@ -141,6 +145,18 @@ def main():
         dxla = float(jnp.max(jnp.abs(preds_pl - preds_i8)))
         print(f"  pallas-vs-xla raw-grid max |delta|: {dxla:.5f}")
 
+    if args.wino:
+        from yolo_tpu.serving.winograd import wino_impl_hooks
+
+        wino = tuple(args.wino.split(","))
+        _, qw = build_int8_predict(model, variables, [jnp.asarray(calib)],
+                                   wino=wino)
+        preds_w = int8_forward(qw, images, S=model.S,
+                               impl=wino_impl_hooks(wino))
+        evaluate("int8-wino", preds_w, targets, results)
+        dw = float(jnp.max(jnp.abs(preds_w - preds_i8)))
+        print(f"  wino-vs-xla raw-grid max |delta|: {dw:.5f}")
+
     dgrid = float(jnp.max(jnp.abs(preds_i8 - preds_fp.astype(jnp.float32))))
     print(f"  int8-vs-fp32 raw-grid max |delta|: {dgrid:.5f}")
 
@@ -153,6 +169,10 @@ def main():
         pl_drop = (results["fp32/bf16"]["mAP50"]
                    - results["int8-pallas"]["mAP50"])
         checks.append(("pallas mAP50 within 1pt of fp32", abs(pl_drop) <= 0.01))
+    if args.wino:
+        w_drop = (results["fp32/bf16"]["mAP50"]
+                  - results["int8-wino"]["mAP50"])
+        checks.append(("wino mAP50 within 1pt of fp32", abs(w_drop) <= 0.01))
     ok = True
     for name, passed in checks:
         print(f"  [{'PASS' if passed else 'FAIL'}] {name}")

@@ -159,11 +159,17 @@ def _conv3x3_s2_colpack_rq(y1_q, qc):
     return _requant(acc, qc["m"], qc["t"])
 
 
-def _block_xla(x_q, qb, stride=1, conv2_tiles: int = 0, conv2_fn=None):
+def _block_xla(x_q, qb, stride=1, conv2_tiles: int = 0, conv2_fn=None,
+               conv2s1_fn=None):
     """One bottleneck block: int8 dots (1x1) + int8 conv (3x3), fused requants."""
     acc = _dot_1x1_i8(x_q, qb["conv1"]["wq"])
     y1 = _requant(acc, qb["conv1"]["m"], qb["conv1"]["t"])
-    if conv2_fn is not None and stride == 2:
+    if conv2s1_fn is not None and stride == 1:
+        # Stride-1 conv2 override, e.g. the per-tap int8 Winograd path
+        # (serving/winograd.py::conv3x3_wino_rq — NOT bit-exact, gated by
+        # tools/quant_accuracy.py).
+        y2 = conv2s1_fn(y1, qb["conv2"])
+    elif conv2_fn is not None and stride == 2:
         # Pallas dense-dot kernel for the stride-2 transition conv2
         # (serving/pallas_int8.py::transition_conv2_pallas): bit-identical.
         y2 = conv2_fn(y1, qb["conv2"])
@@ -251,8 +257,9 @@ def int8_forward(q: Dict, images, S: int = 7, impl: Dict | None = None):
             tiles = impl.get("conv2_tiles", {}).get(f"layer{si + 1}", 0)
             for bi, qb in enumerate(blocks):
                 stride = 2 if (si > 0 and bi == 0) else 1
+                s1_fn = impl.get("conv2_s1", {}).get(f"l{si + 1}b{bi}", None)
                 x_q = _block_xla(x_q, qb, stride, conv2_tiles=tiles,
-                                 conv2_fn=t2_fn)
+                                 conv2_fn=t2_fn, conv2s1_fn=s1_fn)
             continue
         start = 0
         if si > 0:
@@ -404,12 +411,17 @@ def make_sharded_int8_engine_fn(
 
 
 def build_int8_predict(model, variables, calibration_images, impl=None,
-                       nms_fn=None, stem_mode="s2d", fc1_mode="int8"):
+                       nms_fn=None, stem_mode="s2d", fc1_mode="int8",
+                       wino=()):
     """One-stop build: fold -> calibrate -> quantize -> jitted predict fn.
 
     ``calibration_images``: iterable of (n, H, W, 3) normalized image batches
     used to set activation scales (a few batches of representative data; for
     benchmarks random inputs work because scales only need magnitude).
+    ``wino``: conv names ("head_conv1", "l3b1_conv2", ...) to run via the
+    per-tap int8 Winograd F(2,3) path (serving/winograd.py) — per-tap
+    activation scales are calibrated on the same batches, and the matching
+    engine ``impl`` hooks are installed automatically.
     Returns (predict_fn, q_params).
     """
     from yolo_tpu.serving.fold import fold_flagship
@@ -417,9 +429,13 @@ def build_int8_predict(model, variables, calibration_images, impl=None,
 
     folded = fold_flagship(variables)
     act_max = calibrate_activations(folded, calibration_images,
-                                    dtype=jnp.bfloat16)
+                                    dtype=jnp.bfloat16, wino_points=wino)
     q = quantize_folded(folded, act_max, stem_mode=stem_mode,
-                        fc1_mode=fc1_mode)
+                        fc1_mode=fc1_mode, wino=wino)
+    if wino:
+        from yolo_tpu.serving.winograd import wino_impl_hooks
+
+        impl = wino_impl_hooks(wino, impl)
     fn = make_int8_engine_fn(model.S, model.B, model.num_classes, impl=impl,
                              nms_fn=nms_fn)
     return fn, q

@@ -120,19 +120,28 @@ def _max_pool(x, window, stride, pad):
     )
 
 
-def folded_forward(folded: Dict, images, dtype=jnp.float32, stats=None, S=7):
+def folded_forward(folded: Dict, images, dtype=jnp.float32, stats=None, S=7,
+                   wino_points=()):
     """Eval forward on folded params; numerically equals model.apply(train=False).
 
     ``stats`` (optional dict) collects max-|activation| at every int8
     quantization point — the calibration hook used by serving.quant. Keys
-    must match ``quant.ACT_POINTS``.
-    """
+    must match ``quant.ACT_POINTS``. ``wino_points`` names 3x3/s1 convs
+    (e.g. "head_conv1", "l3b1_conv2") whose INPUT additionally gets (16,)
+    per-tap Winograd maxima recorded under ``{name}_wtap``
+    (serving.winograd.tap_maxima — the per-tap activation calibration)."""
     relu = jnp.maximum
     leaky = lambda v: jnp.where(v > 0, v, 0.1 * v)  # noqa: E731
 
     def record(name, v):
         if stats is not None:
             stats[name] = jnp.max(jnp.abs(v)).astype(jnp.float32)
+
+    def record_wtap(name, v):
+        if stats is not None and name in wino_points:
+            from yolo_tpu.serving.winograd import tap_maxima
+
+            stats[f"{name}_wtap"] = tap_maxima(v)
 
     x = images.astype(dtype)
     record("input", x)
@@ -148,6 +157,8 @@ def folded_forward(folded: Dict, images, dtype=jnp.float32, stats=None, S=7):
             y = relu(_conv(x, blk["conv1"]["w"], 1, 0, dtype)
                      + blk["conv1"]["b"], 0.0)
             record(f"{tag}_y1", y)
+            if stride == 1:
+                record_wtap(f"{tag}_conv2", y)
             y = relu(_conv(y, blk["conv2"]["w"], stride, 1, dtype)
                      + blk["conv2"]["b"], 0.0)
             record(f"{tag}_y2", y)
@@ -165,12 +176,15 @@ def folded_forward(folded: Dict, images, dtype=jnp.float32, stats=None, S=7):
             record(f"{tag}_out", x)
 
     head = folded["head"]
+    record_wtap("head_conv1", x)
     x = leaky(_conv(x, head["conv1"]["w"], 1, 1, dtype) + head["conv1"]["b"])
     record("head_conv1", x)
     x = leaky(_conv(x, head["conv2"]["w"], 2, 1, dtype) + head["conv2"]["b"])
     record("head_conv2", x)
+    record_wtap("head_conv3", x)
     x = leaky(_conv(x, head["conv3"]["w"], 1, 1, dtype) + head["conv3"]["b"])
     record("head_conv3", x)
+    record_wtap("head_conv4", x)
     x = leaky(_conv(x, head["conv4"]["w"], 1, 1, dtype) + head["conv4"]["b"])
     record("head_conv4", x)
 

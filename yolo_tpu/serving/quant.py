@@ -50,21 +50,30 @@ def act_points(folded: Dict) -> List[str]:
 
 
 def calibrate_activations(
-    folded: Dict, sample_batches, dtype=jnp.float32
+    folded: Dict, sample_batches, dtype=jnp.float32, wino_points=()
 ) -> Dict[str, float]:
-    """Run the folded forward over batches; return max|act| per point."""
+    """Run the folded forward over batches; return max|act| per point.
+
+    ``wino_points`` additionally records (16,) per-tap Winograd input
+    maxima under ``{name}_wtap`` keys (serving/winograd.py)."""
+    import numpy as np
 
     @jax.jit
     def _stats(params, images):
         stats: Dict = {}
-        folded_forward(params, images, dtype=dtype, stats=stats)
+        folded_forward(params, images, dtype=dtype, stats=stats,
+                       wino_points=tuple(wino_points))
         return stats
 
     maxes: Dict[str, float] = {}
     for batch in sample_batches:
         out = jax.device_get(_stats(folded, batch))
         for k, v in out.items():
-            maxes[k] = max(maxes.get(k, 0.0), float(v))
+            v = np.asarray(v)
+            if v.ndim == 0:
+                maxes[k] = max(maxes.get(k, 0.0), float(v))
+            else:  # vector-valued (per-tap) maxima
+                maxes[k] = np.maximum(maxes.get(k, 0.0), v)
     return maxes
 
 
@@ -116,7 +125,7 @@ def s2d_stem_weights(w):
 
 def quantize_folded(
     folded: Dict, act_max: Dict[str, float], stem_mode: str = "s2d",
-    fc1_mode: str = "int8",
+    fc1_mode: str = "int8", wino=(),
 ) -> Dict:
     """Folded fp32 params + calibrated activation maxima -> int8 engine params.
 
@@ -128,8 +137,16 @@ def quantize_folded(
     already-int8 head activation dots straight into fc1 (the bf16 path's
     convert+scale pass and half its weight bytes disappear; 'bf16' keeps the
     round-2 formulation).
+
+    ``wino``: names of 3x3/s1 convs ("head_conv1", "l3b1_conv2", ...) that
+    additionally get per-tap Winograd F(2,3) params attached under
+    ``qc["wino"]`` (serving/winograd.py; requires ``{name}_wtap`` vectors
+    in ``act_max`` from ``calibrate_activations(wino_points=...)``).
     """
-    s = {k: max(v, 1e-12) / 127.0 for k, v in act_max.items()}
+    if wino:
+        from yolo_tpu.serving.winograd import wino_quantize
+    s = {k: max(v, 1e-12) / 127.0 for k, v in act_max.items()
+         if not k.endswith("_wtap")}
 
     q: Dict = {"s_img": jnp.float32(s["input"])}
     stem_w = folded["stem"]["w"]
@@ -148,6 +165,12 @@ def quantize_folded(
                                  s_in, s[f"{tag}_y1"])
             qb["conv2"] = _layer(blk["conv2"]["w"], blk["conv2"]["b"],
                                  s[f"{tag}_y1"], s[f"{tag}_y2"])
+            if f"{tag}_conv2" in wino:
+                qb["conv2"]["wino"] = wino_quantize(
+                    blk["conv2"]["w"], blk["conv2"]["b"],
+                    s[f"{tag}_y1"], s[f"{tag}_y2"],
+                    act_max[f"{tag}_conv2_wtap"],
+                )
             qb["conv3"] = _layer(blk["conv3"]["w"], blk["conv3"]["b"],
                                  s[f"{tag}_y2"], s[f"{tag}_out"])
             if blk["downsample"] is not None:
@@ -179,6 +202,11 @@ def quantize_folded(
         name = f"conv{i}"
         qh[name] = _layer(head[name]["w"], head[name]["b"],
                           s_in, s[f"head_conv{i}"])
+        if f"head_conv{i}" in wino:
+            qh[name]["wino"] = wino_quantize(
+                head[name]["w"], head[name]["b"],
+                s_in, s[f"head_conv{i}"], act_max[f"head_conv{i}_wtap"],
+            )
         s_in = s[f"head_conv{i}"]
     qh["s_out4"] = jnp.float32(s["head_conv4"])
     if fc1_mode == "int8":
