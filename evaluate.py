@@ -159,6 +159,7 @@ def main(argv=None):
         # exactly what the serving box runs (serving/export.py).
         from yolo_tpu.serving.engine import default_impl, int8_forward
         from yolo_tpu.serving.export import load_engine as load_artifact
+        from yolo_tpu.serving.winograd import wino_impl_hooks, wino_points_of
 
         q, meta = load_artifact(args.engine)
         for attr in ("S", "B", "num_classes"):
@@ -171,6 +172,9 @@ def main(argv=None):
         impl = default_impl()
         if args.mesh_data or args.mesh_model > 1:
             impl.pop("stem_front", None)
+        wino = wino_points_of(q)
+        if wino:  # artifact was exported with Winograd convs — keep them
+            impl = wino_impl_hooks(wino, impl)
         variables = q
         print(f"int8 engine artifact: {args.engine}")
 

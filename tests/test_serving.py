@@ -704,3 +704,29 @@ def test_pallas_wino_matches_xla_wino_interpret():
         d = np.abs(np.asarray(y_pl, np.int32) - np.asarray(y_xla, np.int32))
         assert d.max() <= 1, f"h={h}: max delta {d.max()}"
         assert (d > 0).mean() < 0.01
+
+
+def test_wino_engine_artifact_roundtrip(small_flagship, tmp_path):
+    """A wino-built engine survives save_engine/load: the nested per-tap
+    params round-trip and the artifact loader re-installs the wino impl
+    hooks (wino_points_of) — no silent direct-conv fallback."""
+    from yolo_tpu.inference import YOLOInference
+    from yolo_tpu.serving.winograd import wino_points_of
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(70), (2, 64, 64, 3))]
+    images = jax.random.normal(jax.random.PRNGKey(71), (4, 64, 64, 3))
+
+    wino = ("head_conv1", "l1b0_conv2")
+    eng = YOLOInference(model, variables, image_size=64, optimize="int8",
+                        calibration=calib, wino=wino)
+    want = eng.predict_batch_arrays(images, 0.05, 0.4)
+    path = tmp_path / "deploy_wino.npz"
+    eng.save_engine(path)
+
+    eng2 = YOLOInference(model, None, image_size=64, optimize="int8",
+                         engine_artifact=str(path))
+    assert set(wino_points_of(eng2._int8_state["q"])) == set(wino)
+    got = eng2.predict_batch_arrays(images, 0.05, 0.4)
+    for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -76,6 +76,12 @@ class YOLOInference:
             lazily on the first batch passed to predict — real data, so
             activation scales match the deployment distribution (synthetic
             noise can under-estimate real maxima and silently clip).
+        wino: conv names ("head_conv1", "l3b1_conv2", ...) to run via the
+            per-tap int8 Winograd F(2,3) path (serving/winograd.py) —
+            an opt-in, NOT bit-exact vs the direct convs (accuracy gated
+            by tools/quant_accuracy.py --wino); measured slower on v5e
+            (PARITY.md). Saved artifacts keep the wino params and reload
+            with the hooks re-installed.
 
     Example:
         >>> engine = YOLOInference(model, variables)
@@ -85,7 +91,7 @@ class YOLOInference:
     def __init__(
         self, model, variables, image_size: int = 448, nms_impl: str = "xla",
         optimize: str | None = None, calibration=None,
-        engine_artifact: str | None = None,
+        engine_artifact: str | None = None, wino=(),
     ):
         self.model = model
         self.variables = variables
@@ -109,7 +115,7 @@ class YOLOInference:
                 )
             else:
                 self._predict_batch = self._build_int8(
-                    model, variables, calibration, _nms
+                    model, variables, calibration, _nms, wino=tuple(wino)
                 )
             return
 
@@ -139,7 +145,7 @@ class YOLOInference:
             self.variables, images, conf, nms
         )
 
-    def _build_int8(self, model, variables, calibration, nms_fn):
+    def _build_int8(self, model, variables, calibration, nms_fn, wino=()):
         from yolo_tpu.serving import build_int8_predict
         from yolo_tpu.serving.engine import default_impl
 
@@ -147,7 +153,7 @@ class YOLOInference:
         if calibration is not None:
             predict, q = build_int8_predict(
                 model, variables, calibration, impl=default_impl(),
-                nms_fn=nms_fn,
+                nms_fn=nms_fn, wino=wino,
             )
             state["fn"], state["q"] = predict, q
             return lambda images, conf, nms: predict(q, images, conf, nms)
@@ -180,7 +186,7 @@ class YOLOInference:
                     calib_imgs = device_normalize(calib_imgs)
                 state["fn"], state["q"] = build_int8_predict(
                     model, variables, [calib_imgs.astype(jnp.float32)],
-                    impl=default_impl(), nms_fn=nms_fn,
+                    impl=default_impl(), nms_fn=nms_fn, wino=wino,
                 )
             return state["fn"](state["q"], images, conf, nms)
 
@@ -191,6 +197,7 @@ class YOLOInference:
         no fold, no calibration, and ``variables`` may be None."""
         from yolo_tpu.serving.engine import default_impl, make_int8_engine_fn
         from yolo_tpu.serving.export import load_engine
+        from yolo_tpu.serving.winograd import wino_impl_hooks, wino_points_of
 
         q, meta = load_engine(path)
         for attr in ("S", "B", "num_classes"):
@@ -199,9 +206,13 @@ class YOLOInference:
                     f"engine artifact {path} was exported for {attr}="
                     f"{meta[attr]} but the model has {getattr(model, attr)}"
                 )
+        impl = default_impl()
+        wino = wino_points_of(q)
+        if wino:  # artifact was exported with Winograd convs — keep them
+            impl = wino_impl_hooks(wino, impl)
         fn = make_int8_engine_fn(
             meta["S"], meta["B"], meta["num_classes"],
-            impl=default_impl(), nms_fn=nms_fn,
+            impl=impl, nms_fn=nms_fn,
         )
         self._int8_state.update(fn=fn, q=q)
         return lambda images, conf, nms: fn(q, images, conf, nms)

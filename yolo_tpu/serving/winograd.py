@@ -188,6 +188,25 @@ def wino_quantize(w, b, s_in: float, s_out: float, tap_max_real) -> Dict:
     }
 
 
+def wino_points_of(q: Dict) -> Tuple[str, ...]:
+    """Conv names carrying per-tap Winograd params in an engine q-dict.
+
+    Artifact loaders (inference.py / evaluate.py ``--engine``) use this to
+    re-install the matching ``impl`` hooks (wino_impl_hooks) so a saved
+    wino engine round-trips to the same forward, not a silent direct-conv
+    fallback.
+    """
+    names = []
+    for si, blocks in enumerate(q.get("layers", ())):
+        for bi, qb in enumerate(blocks):
+            if "wino" in qb.get("conv2", {}):
+                names.append(f"l{si + 1}b{bi}_conv2")
+    for i in range(1, 5):
+        if "wino" in q.get("head", {}).get(f"conv{i}", {}):
+            names.append(f"head_conv{i}")
+    return tuple(names)
+
+
 def wino_impl_hooks(wino, impl: Dict | None = None) -> Dict:
     """Engine ``impl`` hooks for the named Winograd convs.
 
