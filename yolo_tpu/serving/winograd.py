@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -218,11 +219,23 @@ def wino_impl_hooks(wino, impl: Dict | None = None) -> Dict:
     impl = dict(impl or {})
     for name in wino:
         if name.startswith("head_conv"):
-            impl[name] = partial(conv3x3_wino_rq, leaky=True)
+            impl[name] = partial(conv3x3_wino_auto, leaky=True)
         else:  # "l{s}b{b}_conv2"
             impl.setdefault("conv2_s1", {})[name.removesuffix("_conv2")] = \
-                partial(conv3x3_wino_rq, leaky=False)
+                partial(conv3x3_wino_auto, leaky=False)
     return impl
+
+
+def conv3x3_wino_auto(x_q, qc, leaky: bool = True):
+    """Dispatch: the fused Pallas wino kernel where it lowers (TPU backend,
+    even square spatial dims), the XLA formulation otherwise (CPU tests,
+    odd 7² head convs). Both compute the same per-tap quantized conv."""
+    h, w = x_q.shape[1], x_q.shape[2]
+    if jax.default_backend() == "tpu" and h == w and h % 2 == 0:
+        from yolo_tpu.serving.pallas_wino import conv3x3_wino_pallas
+
+        return conv3x3_wino_pallas(x_q, qc, leaky=leaky)
+    return conv3x3_wino_rq(x_q, qc, leaky=leaky)
 
 
 def conv3x3_wino_rq(x_q, qc, leaky: bool = True):
