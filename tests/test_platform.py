@@ -113,3 +113,39 @@ def test_machine_fingerprint_discriminates_cpu_model(tmp_path):
     assert a != b
     # Same file -> stable.
     assert a == platform.machine_fingerprint(cpuinfo_path=str(icelake))
+
+
+def test_machine_fingerprint_discriminates_raw_cpuid(tmp_path):
+    """Hosts whose /proc/cpuinfo is IDENTICAL (hypervisor-normalized brand
+    string AND aliased flags — the observed fleet case) must still get
+    different fingerprints when the raw CPUID leaves differ: CPUID is what
+    LLVM's host detection executes, so it is the discriminator that decides
+    AOT tuning features."""
+    info = tmp_path / "cpuinfo"
+    info.write_text(
+        "vendor_id\t: GenuineIntel\ncpu family\t: 6\nmodel\t\t: 143\n"
+        "stepping\t: 8\nmodel name\t: Intel(R) Xeon(R) Processor @ 2.70GHz\n"
+        "flags\t\t: fpu avx avx2 avx512f sse sse2\n"
+    )
+    a = platform.machine_fingerprint(cpuinfo_path=str(info),
+                                     cpuid="1.0:000806f8,...")
+    b = platform.machine_fingerprint(cpuinfo_path=str(info),
+                                     cpuid="1.0:000606a6,...")
+    assert a != b
+    assert a == platform.machine_fingerprint(cpuinfo_path=str(info),
+                                             cpuid="1.0:000806f8,...")
+
+
+def test_cpuid_identity_real_host():
+    """On x86-64 the CPUID thunk returns plausible leaves (vendor leaf 0
+    present, stable across calls); elsewhere it returns ''."""
+    import platform as stdlib_platform
+
+    cid = platform._cpuid_identity()
+    if stdlib_platform.machine() != "x86_64":
+        assert cid == ""
+        return
+    if not cid:  # executable-page mmap may be blocked in a sandbox
+        return
+    assert cid.startswith("0.0:")
+    assert cid == platform._cpuid_identity()

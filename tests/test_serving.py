@@ -730,3 +730,98 @@ def test_wino_engine_artifact_roundtrip(small_flagship, tmp_path):
     got = eng2.predict_batch_arrays(images, 0.05, 0.4)
     for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ------------------------------------------------------------------ batcher
+def _batcher_engine(small_flagship, conf=0.05, nms=0.4):
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(80), (2, 64, 64, 3))]
+    predict, q = build_int8_predict(model, variables, calib)
+    return lambda images: predict(q, images, conf, nms)
+
+
+def test_request_batcher_matches_per_image_calls(small_flagship):
+    """Batcher assembly/pad/slice is exact, and pad rows are inert.
+
+    Bit-exact vs a direct call on the same padded bucket (same compiled
+    graph); tolerance vs independent per-image calls (different batch
+    shape -> different XLA op order at float ULP level)."""
+    from yolo_tpu.serving import RequestBatcher
+
+    predict = _batcher_engine(small_flagship)
+    images = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(81), (5, 64, 64, 3)), np.float32
+    )
+    with RequestBatcher(predict, (64, 64, 3), buckets=(8,),
+                        max_delay_ms=500.0) as b:
+        b.warmup()
+        futs = [b.submit(img) for img in images]
+        got = [f.result(timeout=60) for f in futs]
+
+    padded = np.zeros((8, 64, 64, 3), np.float32)
+    padded[:5] = images
+    bucket_want = jax.device_get(predict(padded))
+    for i, g in enumerate(got):
+        for a, w in zip(jax.tree.leaves(g), jax.tree.leaves(bucket_want)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(w[i]))
+        single = jax.device_get(predict(images[i : i + 1]))
+        for a, w in zip(jax.tree.leaves(g), jax.tree.leaves(single)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(w[0], np.float32),
+                rtol=1e-4, atol=1e-6,
+            )
+
+
+def test_request_batcher_coalesces_into_buckets(small_flagship):
+    """Concurrent submits ride one padded bucket; stats expose occupancy."""
+    from yolo_tpu.serving import RequestBatcher
+
+    predict = _batcher_engine(small_flagship)
+    images = np.zeros((6, 64, 64, 3), np.float32)
+    b = RequestBatcher(predict, (64, 64, 3), buckets=(1, 4, 8),
+                       max_delay_ms=500.0)
+    b.warmup()
+    # Stall the worker's first get() window: submit everything at once.
+    futs = [b.submit(img) for img in images]
+    for f in futs:
+        f.result(timeout=60)
+    b.close()
+    assert b.images_served == 6
+    # 500 ms fill window >> submit loop: at most 2 batches (typically 1+1
+    # after the first request opens a batch).
+    assert b.batches_dispatched <= 2
+
+
+def test_request_batcher_single_request_flushes_on_timeout(small_flagship):
+    """A lone request is served after max_delay without co-riders."""
+    from yolo_tpu.serving import RequestBatcher
+
+    predict = _batcher_engine(small_flagship)
+    b = RequestBatcher(predict, (64, 64, 3), buckets=(4,), max_delay_ms=5.0)
+    b.warmup()
+    fut = b.submit(np.zeros((64, 64, 3), np.float32))
+    res = fut.result(timeout=60)
+    assert jax.tree.leaves(res)[0].shape[0] > 0  # per-image K candidates
+    b.close()
+    assert b.batches_dispatched == 1 and b.images_served == 1
+
+
+def test_request_batcher_validates_and_propagates_errors(small_flagship):
+    from yolo_tpu.serving import RequestBatcher
+
+    predict = _batcher_engine(small_flagship)
+    b = RequestBatcher(predict, (64, 64, 3), buckets=(1,))
+    with pytest.raises(ValueError, match="image shape"):
+        b.submit(np.zeros((32, 32, 3), np.float32))
+
+    def boom(images):
+        raise RuntimeError("engine down")
+
+    b2 = RequestBatcher(boom, (64, 64, 3), buckets=(1,))
+    fut = b2.submit(np.zeros((64, 64, 3), np.float32))
+    with pytest.raises(RuntimeError, match="engine down"):
+        fut.result(timeout=60)
+    b2.close()
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros((64, 64, 3), np.float32))

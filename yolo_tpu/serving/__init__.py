@@ -22,6 +22,7 @@ from yolo_tpu.serving.quant import (
     calibrate_activations,
     quantize_folded,
 )
+from yolo_tpu.serving.batcher import RequestBatcher
 from yolo_tpu.serving.engine import build_int8_predict, make_int8_engine_fn
 from yolo_tpu.serving.export import load_engine, save_engine
 
@@ -31,6 +32,7 @@ __all__ = [
     "ACT_POINTS",
     "calibrate_activations",
     "quantize_folded",
+    "RequestBatcher",
     "build_int8_predict",
     "make_int8_engine_fn",
     "save_engine",

@@ -15,7 +15,68 @@ import os
 import platform as _platform
 
 
-def machine_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
+def _cpuid_identity() -> str:
+    """Raw CPUID identity — what LLVM's host detection actually executes.
+
+    The fleet's hypervisor normalizes ``/proc/cpuinfo`` (generic brand
+    string, aliased flag sets) across physically different CPUs, but the
+    CPUID *instruction* — which llvm::sys::getHostCPUName/Features run —
+    still differs there, and that is what decides SIGILL-class tuning
+    features like ``+prefer-no-gather`` inside XLA:CPU AOT blobs (observed
+    round 3: a cpuinfo-only fingerprint collided across hosts whose
+    compiled feature sets differed, re-surfacing the foreign-blob loads).
+    Executes CPUID through a tiny executable-page thunk; returns "" on
+    non-x86-64 or any failure (the cpuinfo fields still apply).
+    """
+    if _platform.machine() != "x86_64":
+        return ""
+    try:
+        import ctypes
+        import mmap
+
+        # SysV x86-64: edi=leaf, esi=subleaf, rdx=out[4] (u32 eax..edx).
+        code = bytes(
+            [
+                0x53,                    # push rbx (callee-saved, cpuid clobbers)
+                0x49, 0x89, 0xD0,        # mov r8, rdx (cpuid clobbers edx)
+                0x89, 0xF8,              # mov eax, edi
+                0x89, 0xF1,              # mov ecx, esi
+                0x0F, 0xA2,              # cpuid
+                0x41, 0x89, 0x00,        # mov [r8], eax
+                0x41, 0x89, 0x58, 0x04,  # mov [r8+4], ebx
+                0x41, 0x89, 0x48, 0x08,  # mov [r8+8], ecx
+                0x41, 0x89, 0x50, 0x0C,  # mov [r8+12], edx
+                0x5B,                    # pop rbx
+                0xC3,                    # ret
+            ]
+        )
+        buf = mmap.mmap(
+            -1, len(code),
+            prot=mmap.PROT_READ | mmap.PROT_WRITE | mmap.PROT_EXEC,
+        )
+        buf.write(code)
+        addr = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        regs = (ctypes.c_uint32 * 4)()
+        fn = ctypes.CFUNCTYPE(
+            None, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32 * 4),
+        )(addr)
+        out = []
+        # Vendor, signature+features, structured-extended features (both
+        # subleaves), and the extended feature leaf: the inputs LLVM's CPU
+        # subtype + feature detection reads.
+        for leaf, sub in ((0, 0), (1, 0), (7, 0), (7, 1), (0x80000001, 0)):
+            fn(leaf, sub, ctypes.byref(regs))
+            out.append(f"{leaf:x}.{sub:x}:" + ",".join(f"{r:08x}" for r in regs))
+        del fn
+        buf.close()
+        return ";".join(out)
+    except Exception:  # noqa: BLE001 — fingerprint must never raise
+        return ""
+
+
+def machine_fingerprint(cpuinfo_path: str = "/proc/cpuinfo",
+                        cpuid: str | None = None) -> str:
     """Short stable hash of this host's CPU microarchitecture.
 
     XLA:CPU's persistent cache stores AOT-compiled machine code keyed only by
@@ -32,7 +93,10 @@ def machine_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
     Rapids vs Ice Lake), so two fleet hosts with identical hypervisor-
     normalized flag sets can still produce mutually SIGILL-class-incompatible
     AOT blobs (observed round 3: a flags-only fingerprint collided across
-    such hosts and re-poisoned the multichip gate).
+    such hosts and re-poisoned the multichip gate). And because the
+    hypervisor normalizes /proc/cpuinfo itself (generic brand string), the
+    raw CPUID leaves are mixed in too (``_cpuid_identity``) — they are what
+    LLVM actually reads, and the only host-visible discriminator left.
     """
     keys = ("vendor_id", "cpu family", "model", "stepping", "model name",
             "flags", "Features")
@@ -52,7 +116,9 @@ def machine_fingerprint(cpuinfo_path: str = "/proc/cpuinfo") -> str:
                     break
     except OSError:
         pass
-    raw = f"{_platform.machine()}|{'|'.join(ident)}"
+    if cpuid is None:
+        cpuid = _cpuid_identity()
+    raw = f"{_platform.machine()}|{'|'.join(ident)}|{cpuid}"
     return hashlib.sha256(raw.encode()).hexdigest()[:12]
 
 
