@@ -86,12 +86,16 @@ def main():
     # eval amortizes over the whole dataset. Timing a short and a long run
     # and taking the difference cancels that fixed cost — the same
     # RTT-cancelling trick bench.py uses.
-    evaluate_model(model, variables, batches[:1], verbose=False)  # warm cache
+    evaluate_model(model, variables, batches[:1], verbose=False,
+                   precise=False)  # warm cache
 
+    # precise=False: measure the on-accelerator f32 pipeline (throughput
+    # mode); the default precise path moves matching to f64 host CPU.
     t0 = time.perf_counter()
-    evaluate_model(model, variables, batches[:1], verbose=False)
+    evaluate_model(model, variables, batches[:1], verbose=False, precise=False)
     t1 = time.perf_counter()
-    results = evaluate_model(model, variables, batches, verbose=False)
+    results = evaluate_model(model, variables, batches, verbose=False,
+                             precise=False)
     t2 = time.perf_counter()
 
     short, full = t1 - t0, t2 - t1

@@ -357,6 +357,7 @@ def evaluate_model(
     verbose: bool = True,
     mesh=None,
     forward_fn=None,
+    precise: bool = True,
 ) -> Dict[str, float]:
     """Evaluate a YOLO model over a dataloader (reference: metrics.py:654-714).
 
@@ -371,7 +372,10 @@ def evaluate_model(
     reference's loop is single-GPU, metrics.py:678-706); ragged final batches
     are zero-padded to the loader's batch size and the padding excluded via
     ``n_valid``. Multi-host results are merged before compute, so every
-    process returns identical metrics.
+    process returns identical metrics. ``precise=False`` keeps the whole
+    decode/NMS/match pipeline in f32 ON the accelerator (throughput mode,
+    ~0.7 ms/img on a v5e-1 — tools/bench_eval.py) instead of the default
+    f64 host-CPU path whose exactness the parity harness pins.
     """
     metric = mAPMetric(
         num_classes=num_classes,
@@ -380,6 +384,7 @@ def evaluate_model(
         nms_threshold=nms_threshold,
         S=S,
         B=B,
+        precise=precise,
     )
 
     @jax.jit

@@ -172,6 +172,14 @@ def respect_jax_platforms_env() -> None:
             os.environ["XLA_FLAGS"] = flags
     import jax
 
+    # Keep the host CPU backend registered alongside a pinned accelerator:
+    # jax_platforms ordering makes the FIRST entry the default backend, so
+    # appending ",cpu" changes nothing about where jit'd compute runs, but
+    # keeps jax.local_devices(backend="cpu") working — the f64 precise mAP
+    # path and parity harness depend on it (with JAX_PLATFORMS=axon alone
+    # they silently degraded to the f32 on-device fallback).
+    if "cpu" not in value.split(","):
+        value = f"{value},cpu"
     try:
         jax.config.update("jax_platforms", value)
     except Exception:
