@@ -825,3 +825,28 @@ def test_request_batcher_validates_and_propagates_errors(small_flagship):
     b.close()
     with pytest.raises(RuntimeError, match="closed"):
         b.submit(np.zeros((64, 64, 3), np.float32))
+
+
+def test_request_batcher_cancelled_future_does_not_kill_worker(small_flagship):
+    """A caller cancelling its future while the batch computes must not
+    crash the worker (set_result on a cancelled future raises)."""
+    import threading
+
+    from yolo_tpu.serving import RequestBatcher
+
+    predict = _batcher_engine(small_flagship)
+    gate = threading.Event()
+
+    def slow_predict(images):
+        gate.wait(timeout=30)
+        return predict(images)
+
+    b = RequestBatcher(slow_predict, (64, 64, 3), buckets=(1,),
+                       max_delay_ms=1.0)
+    f1 = b.submit(np.zeros((64, 64, 3), np.float32))
+    f1.cancel()  # pending or running; cancel best-effort
+    gate.set()
+    # Worker must survive to serve the next request.
+    f2 = b.submit(np.ones((64, 64, 3), np.float32))
+    assert f2.result(timeout=60) is not None
+    b.close()

@@ -99,6 +99,16 @@ class RequestBatcher:
         """Flush pending requests, then stop the worker."""
         self._closed = True
         self._worker.join()
+        # submit()'s closed-check and the worker's exit race by a hair: a
+        # request enqueued in that window would strand its future. Fail any
+        # leftovers crisply instead.
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if not fut.cancelled():
+                fut.set_exception(RuntimeError("RequestBatcher closed"))
 
     def __enter__(self):
         return self
@@ -139,9 +149,13 @@ class RequestBatcher:
             dets = jax.device_get(self._predict(stacked))
         except Exception as exc:  # noqa: BLE001 — fail the waiters, keep serving
             for fut in futures:
-                fut.set_exception(exc)
+                if not fut.cancelled():
+                    fut.set_exception(exc)
             return
         self.batches_dispatched += 1
         self.images_served += n
         for i, fut in enumerate(futures):
-            fut.set_result(jax.tree.map(lambda a: a[i], dets))
+            # A caller may have cancelled while we computed; set_result on a
+            # cancelled future raises and would kill the worker thread.
+            if not fut.cancelled():
+                fut.set_result(jax.tree.map(lambda a: a[i], dets))
