@@ -7,6 +7,8 @@ check the engine runs end-to-end and tracks the fp32 forward within
 quantization tolerance on a small flagship-shaped config.
 """
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -850,3 +852,171 @@ def test_request_batcher_cancelled_future_does_not_kill_worker(small_flagship):
     f2 = b.submit(np.ones((64, 64, 3), np.float32))
     assert f2.result(timeout=60) is not None
     b.close()
+
+
+# ---------------------------------------------------------------- AOT export
+
+
+def test_aot_compiled_engine_roundtrip(small_flagship, tmp_path):
+    """save_compiled_engine -> load_compiled_engine reproduces the live
+    engine bit-for-bit: the artifact carries the SAME lowered graph, so the
+    deserialized StableHLO compiles to identical numerics on this host."""
+    from yolo_tpu.serving import (
+        build_int8_predict,
+        load_compiled_engine,
+        save_compiled_engine,
+    )
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(90), (2, 64, 64, 3))]
+    live, q = build_int8_predict(model, variables, calib)
+
+    path = tmp_path / "engine_aot.npz"
+    save_compiled_engine(
+        path, q, model.S, model.B, model.num_classes,
+        batch_size=2, image_size=64, conf_threshold=0.05, nms_threshold=0.4,
+        dtype=np.uint8, platforms=("cpu",),
+    )
+    predict, meta = load_compiled_engine(path)
+    assert meta["batch_size"] == 2 and meta["image_size"] == 64
+    assert meta["conf_threshold"] == pytest.approx(0.05)
+
+    images = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(91), (2, 64, 64, 3), 0, 256),
+        np.uint8,
+    )
+    want = live(q, images, 0.05, 0.4)
+    got = predict(images)
+
+    np.testing.assert_array_equal(np.asarray(got.valid), np.asarray(want.valid))
+    np.testing.assert_array_equal(
+        np.asarray(got.class_ids), np.asarray(want.class_ids)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.boxes), np.asarray(want.boxes), rtol=0, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.scores), np.asarray(want.scores), rtol=0, atol=1e-6
+    )
+
+
+def test_aot_artifact_and_plain_artifact_reject_each_other(
+    small_flagship, tmp_path
+):
+    from yolo_tpu.serving import (
+        build_int8_predict,
+        load_compiled_engine,
+        load_engine,
+        save_compiled_engine,
+        save_engine,
+    )
+
+    model, variables = small_flagship
+    calib = [jax.random.normal(jax.random.PRNGKey(92), (2, 64, 64, 3))]
+    _, q = build_int8_predict(model, variables, calib)
+
+    plain = tmp_path / "plain.npz"
+    save_engine(plain, q, model.S, model.B, model.num_classes)
+    with pytest.raises(ValueError, match="AOT"):
+        load_compiled_engine(plain)
+
+    aot = tmp_path / "aot.npz"
+    save_compiled_engine(
+        aot, q, model.S, model.B, model.num_classes,
+        batch_size=1, image_size=64, conf_threshold=0.05, nms_threshold=0.4,
+        platforms=("cpu",),
+    )
+    with pytest.raises(ValueError, match="artifact"):
+        load_engine(aot)
+
+
+# ---------------------------------------------------------------- HTTP server
+
+
+def _post_image(port, array_u8, path="/predict"):
+    import http.client
+    import io as _io
+
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(array_u8).save(buf, format="PNG")
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request(
+        "POST", path, body=buf.getvalue(),
+        headers={"Content-Type": "application/octet-stream"},
+    )
+    resp = conn.getresponse()
+    body = json.loads(resp.read().decode())
+    conn.close()
+    return resp.status, body
+
+
+def test_http_server_serves_predictions(small_flagship):
+    """POST /predict returns the same detections as a direct engine call on
+    the identically-preprocessed image; /healthz reports served counts."""
+    import http.client
+
+    from yolo_tpu.serving import YOLOServer
+    from yolo_tpu.serving.server import detections_to_json
+
+    predict = _batcher_engine(small_flagship)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+
+    with YOLOServer(predict, image_size=64, buckets=(1, 2),
+                    max_delay_ms=1.0) as server:
+        server.warmup()
+        status, body = _post_image(server.port, img)
+        assert status == 200
+
+        # PNG is lossless, so the server-side array is exactly
+        # eval_transform(img) -> a direct call on that must agree.
+        from yolo_tpu.data.transforms import eval_transform
+
+        pre = eval_transform(img, (64, 64), normalize_host=False)
+        want_batch = predict(pre[None])
+        want = detections_to_json(
+            jax.tree.map(lambda a: np.asarray(a)[0], want_batch),
+            server._class_names,
+        )
+        assert body["detections"] == want
+        for det in body["detections"]:
+            assert set(det) >= {"class_id", "class_name", "score", "box"}
+            assert len(det["box"]) == 4
+
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read().decode())
+        conn.close()
+        assert health["status"] == "ok"
+        assert health["images_served"] >= 1
+
+
+def test_http_server_error_paths(small_flagship):
+    import http.client
+
+    from yolo_tpu.serving import YOLOServer
+
+    predict = _batcher_engine(small_flagship)
+    with YOLOServer(predict, image_size=64, buckets=(1,)) as server:
+        # Garbage body -> 400, not a crash.
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("POST", "/predict", body=b"not an image")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "error" in json.loads(resp.read().decode())
+        conn.close()
+
+        # Unknown paths -> 404 on both verbs.
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("GET", "/nope")
+        assert conn.getresponse().status == 404
+        conn.close()
+
+        # Server still healthy after the errors.
+        rng = np.random.default_rng(8)
+        status, body = _post_image(
+            server.port, rng.integers(0, 256, (64, 64, 3), np.uint8)
+        )
+        assert status == 200 and "detections" in body

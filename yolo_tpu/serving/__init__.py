@@ -24,7 +24,13 @@ from yolo_tpu.serving.quant import (
 )
 from yolo_tpu.serving.batcher import RequestBatcher
 from yolo_tpu.serving.engine import build_int8_predict, make_int8_engine_fn
-from yolo_tpu.serving.export import load_engine, save_engine
+from yolo_tpu.serving.export import (
+    load_compiled_engine,
+    load_engine,
+    save_compiled_engine,
+    save_engine,
+)
+from yolo_tpu.serving.server import YOLOServer
 
 __all__ = [
     "fold_flagship",
@@ -37,4 +43,7 @@ __all__ = [
     "make_int8_engine_fn",
     "save_engine",
     "load_engine",
+    "save_compiled_engine",
+    "load_compiled_engine",
+    "YOLOServer",
 ]

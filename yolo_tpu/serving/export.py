@@ -24,12 +24,14 @@ from __future__ import annotations
 
 import io
 import json
-from typing import Dict, Tuple
+from typing import Callable, Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 ENGINE_FORMAT_VERSION = 1
+AOT_FORMAT_VERSION = 1
 _NONE = "__none__"
 
 
@@ -125,3 +127,149 @@ def load_engine(path) -> Tuple[Dict, Dict]:
     for k, dt in meta.get("dtypes", {}).items():
         flat[k] = flat[k].view(jnp.bfloat16 if dt == "bfloat16" else dt)
     return _unflatten(flat), meta
+
+
+# --------------------------------------------------------------------------
+# AOT artifact: q-params + the serving graph itself as serialized StableHLO.
+# --------------------------------------------------------------------------
+
+def _register_detections_serialization():
+    """jax.export needs named serialization for custom pytree output types."""
+    from yolo_tpu.ops.decode import Detections
+
+    try:
+        jax.export.register_namedtuple_serialization(
+            Detections, serialized_name="yolo_tpu.ops.decode.Detections"
+        )
+    except ValueError:
+        pass  # already registered (idempotent across reloads)
+
+
+def save_compiled_engine(
+    path,
+    q: Dict,
+    S: int,
+    B: int,
+    num_classes: int,
+    *,
+    batch_size: int,
+    conf_threshold: float,
+    nms_threshold: float,
+    image_size: int = 448,
+    dtype=np.uint8,
+    platforms: Tuple[str, ...] = ("tpu", "cpu"),
+    nms_fn=None,
+) -> None:
+    """Freeze the FULL serving graph — not just its parameters — to one file.
+
+    ``save_engine`` removes the checkpoint/fold/calibration steps from a
+    deployment box but still re-traces the Python engine code at load.
+    This goes one step further down the TensorRT-plan road: the whole
+    jitted forward+decode+NMS graph is exported to **StableHLO**
+    (``jax.export``) with the thresholds and batch geometry baked in, and
+    bundled with the q-params in a single .npz. A serving box then needs
+    only ``load_compiled_engine`` + jax — none of the model, quantization,
+    decode, or NMS Python is imported, so engine-code drift can never
+    change a deployed artifact's numerics (StableHLO carries jax.export's
+    cross-version stability guarantees). The reference has no analogue
+    (its predict path re-loads the training checkpoint per run,
+    /root/reference/src/predict.py:23-63).
+
+    ``platforms`` lowers one module per target; the default ships a graph
+    that runs on both TPU serving hosts and CPU dev boxes. The export uses
+    the pure-XLA engine (``impl={}``) — bit-identical to the Pallas-front
+    build and portable across platforms/topologies.
+
+    ``dtype=np.uint8`` bakes the raw-RGB wire format (ImageNet
+    normalization fused in-graph); pass np.float32 to feed normalized
+    images instead.
+    """
+    from yolo_tpu.serving.engine import make_int8_engine_fn
+
+    _register_detections_serialization()
+    fn = make_int8_engine_fn(S, B, num_classes, impl={}, nms_fn=nms_fn)
+
+    def closed(q, images):
+        return fn(
+            q,
+            images,
+            conf_threshold=float(conf_threshold),
+            nms_threshold=float(nms_threshold),
+        )
+
+    img_aval = jax.ShapeDtypeStruct(
+        (int(batch_size), int(image_size), int(image_size), 3),
+        np.dtype(dtype),
+    )
+    q_avals = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype), q
+    )
+    exported = jax.export.export(jax.jit(closed), platforms=list(platforms))(
+        q_avals, img_aval
+    )
+    blob = np.frombuffer(exported.serialize(), dtype=np.uint8)
+
+    flat: Dict[str, np.ndarray] = {}
+    _flatten("", q, flat)
+    dtypes: Dict[str, str] = {}
+    for k, v in list(flat.items()):
+        if v.dtype == jnp.bfloat16:
+            dtypes[k] = "bfloat16"
+            flat[k] = v.view(np.uint16)
+    flat["__stablehlo__"] = blob
+    flat["__aot_meta__"] = np.frombuffer(
+        json.dumps(
+            {
+                "aot_format_version": AOT_FORMAT_VERSION,
+                "S": S,
+                "B": B,
+                "num_classes": num_classes,
+                "batch_size": int(batch_size),
+                "image_size": int(image_size),
+                "conf_threshold": float(conf_threshold),
+                "nms_threshold": float(nms_threshold),
+                "dtype": np.dtype(dtype).name,
+                "platforms": list(platforms),
+                "dtypes": dtypes,
+            }
+        ).encode(),
+        dtype=np.uint8,
+    )
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    with open(path, "wb") as fh:
+        fh.write(buf.getvalue())
+
+
+def load_compiled_engine(path) -> Tuple[Callable, Dict]:
+    """Load an AOT artifact: returns ``(predict(images) -> Detections, meta)``.
+
+    ``predict`` is the deserialized StableHLO module under ``jax.jit`` with
+    the bundled q-params passed as runtime arguments (NOT baked into the
+    executable — the axon closure trap, CLAUDE.md #2). The batch size,
+    image size, wire dtype, and thresholds are fixed at export time and
+    recorded in ``meta``.
+    """
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    meta_raw = flat.pop("__aot_meta__", None)
+    blob = flat.pop("__stablehlo__", None)
+    if meta_raw is None or blob is None:
+        raise ValueError(f"{path} is not a yolo-tpu AOT engine artifact")
+    meta = json.loads(bytes(meta_raw.tobytes()).decode())
+    if meta.get("aot_format_version", 0) > AOT_FORMAT_VERSION:
+        raise ValueError(
+            f"AOT artifact format {meta['aot_format_version']} is newer than"
+            f" this build supports ({AOT_FORMAT_VERSION})"
+        )
+    for k, dt in meta.get("dtypes", {}).items():
+        flat[k] = flat[k].view(jnp.bfloat16 if dt == "bfloat16" else dt)
+    q = _unflatten(flat)
+    _register_detections_serialization()
+    exported = jax.export.deserialize(bytearray(blob.tobytes()))
+    call = jax.jit(exported.call)
+
+    def predict(images):
+        return call(q, images)
+
+    return predict, meta
