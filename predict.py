@@ -58,7 +58,8 @@ def load_engine(args):
     )
 
 
-def report_and_save(engine, image_path: Path, detections, out_dir: Path):
+def report_and_save(engine, image_path: Path, detections, out_dir: Path,
+                    conf_threshold: float = 0.5):
     """Console listing + annotated ``{stem}_pred{suffix}`` output for one image."""
     from yolo_tpu.data import VOC_CLASSES
     from yolo_tpu.utils.visualization import draw_detections
@@ -68,7 +69,8 @@ def report_and_save(engine, image_path: Path, detections, out_dir: Path):
         print(f"  {det.class_name}: {det.confidence:.2%} at {det.bbox}")
 
     image = engine.load_image(str(image_path))
-    annotated = draw_detections(image, detections, VOC_CLASSES)
+    # Threshold threaded through like reference predict.py:113.
+    annotated = draw_detections(image, detections, VOC_CLASSES, conf_threshold)
     out_dir.mkdir(parents=True, exist_ok=True)
     out_path = out_dir / f"{image_path.stem}_pred{image_path.suffix}"
     annotated.save(out_path)
@@ -85,7 +87,9 @@ def predict_single_image(engine, image_path: Path, args, out_dir: Path):
         nms_threshold=args.nms_threshold,
         class_names=VOC_CLASSES,
     )
-    return report_and_save(engine, image_path, detections, out_dir)
+    return report_and_save(
+        engine, image_path, detections, out_dir, args.conf_threshold
+    )
 
 
 def main(argv=None):
@@ -130,7 +134,7 @@ def main(argv=None):
     )
     total = 0
     for path, dets in zip(paths, all_dets):
-        report_and_save(engine, path, dets, out_dir)
+        report_and_save(engine, path, dets, out_dir, args.conf_threshold)
         total += len(dets)
     if args.save_engine:
         engine.save_engine(args.save_engine)

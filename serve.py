@@ -40,8 +40,12 @@ def parse_args(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--image-size", type=int, default=448)
-    p.add_argument("--conf-threshold", type=float, default=0.5)
-    p.add_argument("--nms-threshold", type=float, default=0.4)
+    # None sentinels so the --compiled path can tell an explicit flag from
+    # the default when warning about baked-in thresholds.
+    p.add_argument("--conf-threshold", type=float, default=None,
+                   help="default 0.5")
+    p.add_argument("--nms-threshold", type=float, default=None,
+                   help="default 0.4")
     p.add_argument("--buckets", default="1,4,16",
                    help="comma-separated batch buckets (each compiles once)")
     p.add_argument("--max-delay-ms", type=float, default=2.0,
@@ -53,9 +57,8 @@ def parse_args(argv=None):
 
 
 def build_predict(args):
-    """Returns (predict(images)->Detections, buckets, image_size, q_or_None)."""
-    import numpy as np
-
+    """Returns (predict(images)->Detections, buckets, image_size, q_or_None,
+    geom_or_None) where geom = (S, B, num_classes) of the engine built."""
     buckets = tuple(int(b) for b in args.buckets.split(","))
 
     if args.compiled:
@@ -64,13 +67,15 @@ def build_predict(args):
         predict, meta = load_compiled_engine(args.compiled)
         for flag, key in (("conf_threshold", "conf_threshold"),
                           ("nms_threshold", "nms_threshold")):
-            if abs(getattr(args, flag) - meta[key]) > 1e-9:
+            # Only warn when the flag was explicitly passed (None = default).
+            if getattr(args, flag) is not None and \
+                    abs(getattr(args, flag) - meta[key]) > 1e-9:
                 print(f"note: --{flag.replace('_', '-')} ignored — the AOT "
                       f"artifact bakes {key}={meta[key]}")
         if meta["dtype"] != "uint8":
             raise SystemExit("serve.py requires a uint8-wire AOT artifact")
         # One lowered graph = one batch size: serve with that single bucket.
-        return predict, (meta["batch_size"],), meta["image_size"], None
+        return predict, (meta["batch_size"],), meta["image_size"], None, None
 
     from yolo_tpu.serving.engine import default_impl, make_int8_engine_fn
 
@@ -78,8 +83,8 @@ def build_predict(args):
         from yolo_tpu.serving import load_engine
 
         q, meta = load_engine(args.engine)
-        fn = make_int8_engine_fn(meta["S"], meta["B"], meta["num_classes"],
-                                 impl=default_impl())
+        geom = (meta["S"], meta["B"], meta["num_classes"])
+        fn = make_int8_engine_fn(*geom, impl=default_impl())
     else:
         from yolo_tpu.models import create_model
         from yolo_tpu.serving import build_int8_predict
@@ -88,14 +93,16 @@ def build_predict(args):
         if not Path(args.checkpoint).exists():
             raise SystemExit(f"Checkpoint not found: {args.checkpoint}")
         model = create_model(args.backbone, num_classes=args.num_classes)
+        geom = (model.S, model.B, model.num_classes)
         variables = load_variables(args.checkpoint, backbone=args.backbone)
         calib = _calibration_batches(args)
         fn, q = build_int8_predict(model, variables, calib,
                                    impl=default_impl())
 
-    conf, nms = float(args.conf_threshold), float(args.nms_threshold)
+    conf = 0.5 if args.conf_threshold is None else float(args.conf_threshold)
+    nms = 0.4 if args.nms_threshold is None else float(args.nms_threshold)
     return (lambda images: fn(q, images, conf, nms)), buckets, \
-        args.image_size, q
+        args.image_size, q, geom
 
 
 def _calibration_batches(args):
@@ -132,24 +139,21 @@ def main(argv=None):
     respect_jax_platforms_env()
     setup_compilation_cache()
 
-    predict, buckets, image_size, q = build_predict(args)
+    predict, buckets, image_size, q, geom = build_predict(args)
 
     if args.save_compiled:
         if q is None:
             raise SystemExit("--save-compiled needs a live or frozen engine "
                              "build (not --compiled)")
-        from yolo_tpu.serving import load_engine, save_compiled_engine
+        from yolo_tpu.serving import save_compiled_engine
 
-        if args.engine:
-            _, meta = load_engine(args.engine)
-            geom = (meta["S"], meta["B"], meta["num_classes"])
-        else:
-            geom = (7, 2, args.num_classes)
         save_compiled_engine(
             args.save_compiled, q, *geom,
             batch_size=buckets[-1], image_size=image_size,
-            conf_threshold=args.conf_threshold,
-            nms_threshold=args.nms_threshold,
+            conf_threshold=0.5 if args.conf_threshold is None
+            else args.conf_threshold,
+            nms_threshold=0.4 if args.nms_threshold is None
+            else args.nms_threshold,
         )
         print(f"AOT engine artifact saved to {args.save_compiled}")
 

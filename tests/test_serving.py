@@ -1020,3 +1020,45 @@ def test_http_server_error_paths(small_flagship):
             server.port, rng.integers(0, 256, (64, 64, 3), np.uint8)
         )
         assert status == 200 and "detections" in body
+
+
+def test_http_server_request_hygiene(small_flagship):
+    """Advisor items: malformed Content-Length -> 400 (not a traceback),
+    oversized body -> 413, and a failed bind closes the batcher worker."""
+    import http.client
+
+    from yolo_tpu.serving import YOLOServer
+
+    predict = _batcher_engine(small_flagship)
+    with YOLOServer(predict, image_size=64, buckets=(1,),
+                    max_body_bytes=100_000) as server:
+        # Malformed Content-Length -> 400.
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.putrequest("POST", "/predict")
+        conn.putheader("Content-Length", "banana")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read().decode())["error"]
+        conn.close()
+
+        # Body over the cap -> 413 without reading it into memory.
+        conn = http.client.HTTPConnection("127.0.0.1", server.port, timeout=60)
+        conn.request("POST", "/predict", body=b"x" * 200_000)
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
+        # A second server on the same port: bind fails, batcher not leaked.
+        import pytest as _pytest
+
+        with _pytest.raises(OSError):
+            YOLOServer(predict, image_size=64, buckets=(1,),
+                       host=server.host, port=server.port)
+
+        # First server still healthy.
+        rng = np.random.default_rng(9)
+        status, body = _post_image(
+            server.port, rng.integers(0, 256, (32, 32, 3), np.uint8)
+        )
+        assert status == 200 and "detections" in body

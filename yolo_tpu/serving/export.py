@@ -167,11 +167,13 @@ def save_compiled_engine(
     This goes one step further down the TensorRT-plan road: the whole
     jitted forward+decode+NMS graph is exported to **StableHLO**
     (``jax.export``) with the thresholds and batch geometry baked in, and
-    bundled with the q-params in a single .npz. A serving box then needs
-    only ``load_compiled_engine`` + jax — none of the model, quantization,
-    decode, or NMS Python is imported, so engine-code drift can never
-    change a deployed artifact's numerics (StableHLO carries jax.export's
-    cross-version stability guarantees). The reference has no analogue
+    bundled with the q-params in a single .npz. ``load_compiled_engine``
+    replays that frozen graph instead of re-tracing the engine Python, so
+    engine-code drift can never change a deployed artifact's numerics
+    (StableHLO carries jax.export's cross-version stability guarantees).
+    The package itself is still imported at load (the Detections pytree
+    type lives in ``ops.decode``) — the immutability claim is about the
+    numerics, not the import graph. The reference has no analogue
     (its predict path re-loads the training checkpoint per run,
     /root/reference/src/predict.py:23-63).
 

@@ -85,11 +85,13 @@ class YOLOServer:
         max_delay_ms: float = 2.0,
         class_names: Optional[Sequence[str]] = VOC_CLASSES,
         request_timeout_s: float = 60.0,
+        max_body_bytes: int = 32 * 1024 * 1024,
     ):
         self.image_size = int(image_size)
         self._dtype = np.dtype(dtype)
         self._class_names = class_names
         self._timeout = float(request_timeout_s)
+        self.max_body_bytes = int(max_body_bytes)
         self.batcher = RequestBatcher(
             predict,
             (self.image_size, self.image_size, 3),
@@ -127,9 +129,20 @@ class YOLOServer:
             def do_POST(self):
                 if self.path != "/predict":
                     return self._reply(404, {"error": "unknown path"})
-                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                except (TypeError, ValueError):
+                    return self._reply(400, {"error": "bad Content-Length"})
                 if length <= 0:
                     return self._reply(400, {"error": "empty body"})
+                if length > server.max_body_bytes:
+                    return self._reply(
+                        413,
+                        {
+                            "error": "body too large "
+                            f"(max {server.max_body_bytes} bytes)"
+                        },
+                    )
                 raw = self.rfile.read(length)
                 try:
                     image = server._decode(raw)
@@ -150,7 +163,13 @@ class YOLOServer:
                     },
                 )
 
-        self._http = ThreadingHTTPServer((host, port), _Handler)
+        try:
+            self._http = ThreadingHTTPServer((host, port), _Handler)
+        except OSError:
+            # Bind failed (e.g. port in use): don't leak the batcher's
+            # already-running worker thread.
+            self.batcher.close()
+            raise
         self.host, self.port = self._http.server_address[:2]
         self._thread = threading.Thread(
             target=self._http.serve_forever, daemon=True

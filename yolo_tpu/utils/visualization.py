@@ -48,36 +48,66 @@ def _load_font(size: int = 16):
     return ImageFont.load_default()
 
 
+def _detection_fields(det) -> tuple:
+    """Normalize a Detection object OR a legacy tuple to common fields.
+
+    Legacy format (reference visualization.py:54-56 docstring):
+    ``(class_id, confidence, x, y, w, h)`` with normalized center coords.
+    Returns ``(class_id, confidence, class_name_or_None, cx, cy, w, h)``.
+    """
+    if isinstance(det, (tuple, list)):
+        class_id, conf, cx, cy, w, h = det
+        return int(class_id), float(conf), None, float(cx), float(cy), float(w), float(h)
+    b = det.bbox
+    return det.class_id, det.confidence, det.class_name, b.x, b.y, b.width, b.height
+
+
 def draw_detections(
     image: Image.Image,
     detections: Sequence,
     class_names: Optional[Sequence[str]] = None,
-    min_box_size: int = 4,
+    conf_threshold: float = 0.5,
+    box_width: int = 3,
+    font_size: int = 20,
+    min_box_size: int = 2,
 ) -> Image.Image:
-    """Draw Detection objects onto a copy of ``image``.
+    """Draw detections onto a copy of ``image``.
 
-    Boxes are clamped to the image; boxes smaller than ``min_box_size`` pixels
-    on either side are skipped (reference visualization.py:106-147 behavior).
+    Parameter surface mirrors reference visualization.py:34-147:
+    ``conf_threshold`` (detections below it are skipped), ``box_width``,
+    ``font_size``, and legacy ``(class_id, conf, x, y, w, h)`` tuple
+    detections (normalized center format) alongside Detection objects.
+    Boxes are clamped to the image; boxes smaller than ``min_box_size``
+    pixels on either side are skipped (reference skips < 2 px).
     """
     out = image.copy()
     draw = ImageDraw.Draw(out)
-    font = _load_font()
+    font = _load_font(font_size)
     W, H = out.size
 
     for det in detections:
-        x1, y1, x2, y2 = det.bbox.to_pixel_coords(W, H)
+        class_id, conf, name, cx, cy, bw, bh = _detection_fields(det)
+        if conf < conf_threshold:
+            continue
+        # Same int truncation as BoundingBox.to_pixel_coords / the reference.
+        x1 = int((cx - bw / 2) * W)
+        y1 = int((cy - bh / 2) * H)
+        x2 = int((cx + bw / 2) * W)
+        y2 = int((cy + bh / 2) * H)
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
         x1, x2 = max(0, min(x1, W - 1)), max(0, min(x2, W - 1))
         y1, y2 = max(0, min(y1, H - 1)), max(0, min(y2, H - 1))
         if (x2 - x1) < min_box_size or (y2 - y1) < min_box_size:
             continue
-        color = _COLORS[det.class_id % len(_COLORS)]
-        draw.rectangle([x1, y1, x2, y2], outline=color, width=3)
-        name = det.class_name or (
-            class_names[det.class_id]
-            if class_names and det.class_id < len(class_names)
-            else f"class_{det.class_id}"
+        color = _COLORS[class_id % len(_COLORS)]
+        draw.rectangle([x1, y1, x2, y2], outline=color, width=box_width)
+        name = name or (
+            class_names[class_id]
+            if class_names and class_id < len(class_names)
+            else f"class_{class_id}"
         )
-        label = f"{name} {det.confidence:.2f}"
+        label = f"{name}: {conf:.2f}"
         bbox = draw.textbbox((0, 0), label, font=font)
         tw, th = bbox[2] - bbox[0], bbox[3] - bbox[1]
         ty = y1 - th - 4 if y1 - th - 4 > 0 else y1 + 2
