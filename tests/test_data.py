@@ -262,3 +262,54 @@ def test_metric_writer_jsonl(tmp_path):
              (tmp_path / "metrics.jsonl").read_text().splitlines()]
     assert {"tag": "train/loss", "value": 1.5, "step": 3} in lines
     assert any("hparams_summary" in rec for rec in lines)
+
+
+def test_loader_worker_types_equivalent(tmp_path):
+    """Thread, process, and synchronous loaders yield IDENTICAL batches —
+    augmentation draws come from per-(seed, epoch, idx) stateless streams,
+    not a shared RNG, so worker scheduling cannot change sample content.
+    Process mode = the reference's worker-process semantics (train.py:130)."""
+    make_voc_tree(tmp_path, n_images=6)
+    ds = VOCDetectionYOLO(root=tmp_path, year="2007", image_set="train",
+                          augment=True, seed=3)
+
+    def collect(worker_type, num_workers):
+        loader = DataLoader(ds, batch_size=2, shuffle=True, seed=5,
+                            num_workers=num_workers, worker_type=worker_type)
+        loader.set_epoch(1)
+        try:
+            return list(loader)
+        finally:
+            loader.close()
+
+    sync = collect("thread", 0)
+    threaded = collect("thread", 2)
+    procs = collect("process", 2)
+    assert len(sync) == len(threaded) == len(procs) == 3
+    for (si, st), (ti, tt), (pi, pt) in zip(sync, threaded, procs):
+        np.testing.assert_array_equal(si, ti)
+        np.testing.assert_array_equal(st, tt)
+        np.testing.assert_array_equal(si, pi)
+        np.testing.assert_array_equal(st, pt)
+
+
+def test_augmentation_epoch_streams(tmp_path):
+    """set_epoch changes augmentation draws; same epoch reproduces them."""
+    make_voc_tree(tmp_path, n_images=2)
+    ds = VOCDetectionYOLO(root=tmp_path, year="2007", image_set="train",
+                          augment=True, seed=0)
+    a = ds[0][0].copy()
+    a_again = ds[0][0].copy()
+    np.testing.assert_array_equal(a, a_again)  # stateless per-sample stream
+    ds.set_epoch(1)
+    b = ds[0][0]
+    assert not np.array_equal(a, b)
+    ds.set_epoch(0)
+    np.testing.assert_array_equal(a, ds[0][0])
+
+
+def test_loader_worker_type_validation(tmp_path):
+    make_voc_tree(tmp_path, n_images=2)
+    ds = VOCDetectionYOLO(root=tmp_path, year="2007", image_set="train")
+    with pytest.raises(ValueError, match="worker_type"):
+        DataLoader(ds, batch_size=1, worker_type="bogus")

@@ -21,6 +21,12 @@ def parse_args(argv=None):
     p.add_argument("--data-root", default="./data", help="VOC dataset root")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--num-workers", type=int, default=32)
+    p.add_argument("--worker-type", default="auto",
+                   choices=["auto", "thread", "process"],
+                   help="data-loader workers: spawned processes (the "
+                        "reference's 32-worker-process semantics, best on "
+                        "multi-core hosts), GIL-sharing threads, or auto "
+                        "(processes iff the host has >1 CPU)")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--freeze-backbone", action="store_true")
     p.add_argument("--num-classes", type=int, default=20)
@@ -172,6 +178,7 @@ def main(argv=None):
         drop_last=True,
         seed=args.seed,
         shard_by_process=shard,
+        worker_type=args.worker_type,
     )
     # drop_last=False: the reference evaluates every val image (its torch
     # DataLoader keeps the ragged final batch); the one extra jit shape
@@ -183,6 +190,7 @@ def main(argv=None):
         num_workers=args.num_workers,
         drop_last=False,
         shard_by_process=shard,
+        worker_type=args.worker_type,
     )
 
     dtype = jnp.bfloat16 if args.use_amp else jnp.float32

@@ -1,21 +1,58 @@
 """Prefetching host data loader feeding fixed-shape device batches.
 
 TPU-native replacement for the reference's ``torch.utils.data.DataLoader``
-worker processes (train.py:127-141): a thread pool decodes/augments samples
-(cv2/PIL release the GIL for the heavy work) while a bounded prefetch queue
-keeps the accelerator fed; batches are stacked into pinned numpy arrays ready
-for a single ``jax.device_put`` per step. Supports shuffling, drop_last (needed
-for fixed-shape jit), and deterministic per-epoch seeding.
+worker processes (train.py:127-141): workers decode/augment samples while a
+bounded prefetch queue keeps the accelerator fed; batches are stacked into
+numpy arrays ready for a single ``jax.device_put`` per step. Two worker
+backends, selected by ``worker_type``:
+
+- ``"thread"``: a thread pool (cv2/PIL release the GIL for the heavy work).
+- ``"process"``: a persistent spawn-based process pool — the reference's
+  32-worker-process semantics (train.py:130) for multi-core hosts where
+  CPython's GIL caps the threaded decode rate. Each worker holds its own
+  copy of the dataset (pickled once at spawn); one task = one batch, so
+  IPC is per-batch, not per-sample.
+- ``"auto"``: process when the host has >1 CPU and num_workers > 0, else
+  thread (single-core hosts pay spawn cost for no parallelism).
+
+Determinism is identical across backends, worker counts, and completion
+order: augmentation draws come from per-sample stateless streams seeded by
+(seed, epoch, idx) — see VOCDetectionYOLO.__getitem__ — not from a shared
+RNG, so a batch's content depends only on its indices and the epoch.
+Supports shuffling, drop_last (needed for fixed-shape jit), and
+deterministic per-epoch seeding.
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
+
+# ---------------------------------------------------------------- process pool
+# Module-level state/functions so they pickle by reference into spawned
+# workers (the dataset ships once per worker via the initializer).
+
+_WORKER_DATASET = None
+
+
+def _process_worker_init(dataset) -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _process_assemble(indices, epoch: int):
+    ds = _WORKER_DATASET
+    if hasattr(ds, "set_epoch"):
+        ds.set_epoch(epoch)
+    samples = [ds[int(i)] for i in indices]
+    images = np.stack([s[0] for s in samples])
+    targets = np.stack([s[1] for s in samples])
+    return images, targets
 
 
 def pad_batch(images: np.ndarray, targets: np.ndarray, batch_size: int):
@@ -55,6 +92,9 @@ class DataLoader:
             1/process_count slice of the (identically shuffled) index stream,
             so ``batch_size`` becomes the PER-HOST batch and the global batch
             is batch_size * process_count. No-op single-process.
+        worker_type: "thread" | "process" | "auto" (see module docstring).
+            The process pool is persistent across epochs; call ``close()``
+            (or rely on interpreter exit) to reap it.
     """
 
     def __init__(
@@ -67,6 +107,7 @@ class DataLoader:
         prefetch: int = 4,
         seed: int = 0,
         shard_by_process: bool = False,
+        worker_type: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -77,6 +118,41 @@ class DataLoader:
         self.seed = seed
         self.shard_by_process = shard_by_process
         self.epoch = 0
+        if worker_type not in ("thread", "process", "auto"):
+            raise ValueError(f"worker_type must be thread|process|auto, got {worker_type!r}")
+        if worker_type == "auto":
+            worker_type = (
+                "process" if num_workers > 0 and (os.cpu_count() or 1) > 1 else "thread"
+            )
+        self.worker_type = worker_type
+        self._pool = None  # lazy persistent ProcessPoolExecutor
+
+    def close(self) -> None:
+        """Reap the persistent worker-process pool (no-op for threads)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            # spawn (not fork): jax/XLA threads in this process make fork
+            # unsafe, and spawn matches every platform.
+            self._pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_process_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._pool
 
     def _local_count(self) -> int:
         """Samples this process iterates (equal across processes when sharded)."""
@@ -96,8 +172,10 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def set_epoch(self, epoch: int) -> None:
-        """Advance the shuffle seed (call once per epoch for determinism)."""
+        """Advance the shuffle seed + per-sample augmentation streams."""
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _index_batches(self) -> list:
         n = len(self.dataset)
@@ -132,8 +210,36 @@ class DataLoader:
         targets = np.stack([s[1] for s in samples])
         return images, targets
 
+    def _iter_process(self, batches) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Pipeline batch tasks through the persistent process pool in order."""
+        from collections import deque
+
+        pool = self._process_pool()
+        max_inflight = self.num_workers + self.prefetch
+        pending: deque = deque()
+        batch_iter = iter(batches)
+
+        def refill():
+            while len(pending) < max_inflight:
+                try:
+                    b = next(batch_iter)
+                except StopIteration:
+                    return
+                pending.append(
+                    pool.submit(_process_assemble, np.asarray(b), self.epoch)
+                )
+
+        refill()
+        while pending:
+            result = pending.popleft().result()
+            refill()
+            yield result
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         batches = self._index_batches()
+        if self.num_workers > 0 and self.worker_type == "process":
+            yield from self._iter_process(batches)
+            return
         if self.num_workers <= 0:
             for b in batches:
                 yield self._assemble(b, None)

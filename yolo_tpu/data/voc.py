@@ -222,7 +222,11 @@ class VOCDetectionYOLO:
         # (uint8 batches: 4x smaller host->device transfer; see
         # transforms.device_normalize).
         self.normalize_host = normalize_host
-        self._rng = np.random.default_rng(seed)
+        # Augmentation RNG is derived per (seed, epoch, idx) in __getitem__:
+        # a stateless stream makes samples identical no matter which worker
+        # (thread OR spawned process) decodes them, in any order.
+        self.seed = seed
+        self.epoch = 0
 
         base_year = year.split("-")[0]
         if download:
@@ -246,6 +250,10 @@ class VOCDetectionYOLO:
     def __len__(self) -> int:
         return len(self.images)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Mix the epoch into the per-sample augmentation streams."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
         image = T.load_image_rgb(self.images[idx])
         boxes, class_ids, _ = parse_voc_xml(self.annotations[idx])
@@ -253,8 +261,9 @@ class VOCDetectionYOLO:
         if self.transform is not None:
             image = self.transform(image)
         elif self.augment:
+            rng = np.random.default_rng((self.seed, self.epoch, int(idx)))
             image, boxes = T.train_transform(
-                image, boxes, self._rng, self.target_size,
+                image, boxes, rng, self.target_size,
                 normalize_host=self.normalize_host,
             )
         else:
@@ -322,6 +331,11 @@ class CombinedVOCDataset:
 
     def __len__(self) -> int:
         return int(sum(self.lengths))
+
+    def set_epoch(self, epoch: int) -> None:
+        for ds in self.datasets:
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
 
     def __getitem__(self, idx: int):
         ds_idx = int(np.searchsorted(self.cumulative, idx, side="right")) - 1
