@@ -509,6 +509,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--reference", default="/root/reference")
     args = parser.parse_args()
+    # Honor JAX_PLATFORMS=cpu (the sitecustomize pin would otherwise put the
+    # default backend on the tunneled TPU, where this tool's un-jitted
+    # reference comparisons dispatch eagerly at ~1 s/op).
+    from yolo_tpu.utils.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
     ref_src = Path(args.reference) / "src"
     if not ref_src.exists():
         print(f"reference not found at {ref_src}; skipping")
