@@ -54,6 +54,12 @@ def parse_args(argv=None):
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel axis size for the mesh (forward "
                         "only; combine with --mesh-data)")
+    p.add_argument("--fast-eval", action="store_true",
+                   help="keep decode/NMS/matching in f32 on the accelerator "
+                        "(throughput mode; tools/bench_eval.py). Default is "
+                        "the precise path: f64 matching on the host CPU — "
+                        "bit-faithful to the reference at AP tie boundaries, "
+                        "but host-bound (slow on small-CPU hosts)")
     return p.parse_args(argv)
 
 
@@ -265,6 +271,13 @@ def main(argv=None):
         )
         print(f"Evaluation mesh: {dict(mesh.shape)}")
 
+    if not args.fast_eval:
+        # The default matches the reference's f64 Python-float matching
+        # exactly; its decode/NMS/match stage runs on the HOST CPU backend
+        # (see mAPMetric), so on small-CPU hosts wall time is host-bound.
+        print("Precise eval path active (f64 matching on host CPU); pass"
+              " --fast-eval for the on-accelerator f32 throughput mode.")
+
     results = evaluate_model(
         model,
         variables,
@@ -274,6 +287,7 @@ def main(argv=None):
         nms_threshold=args.nms_threshold,
         forward_fn=forward_fn,
         mesh=mesh,
+        precise=not args.fast_eval,
     )
 
     report = format_results(results, args.num_classes, VOC_CLASSES)
