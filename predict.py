@@ -33,6 +33,10 @@ def parse_args(argv=None):
     p.add_argument("--save-engine", default=None,
                    help="after serving, freeze the calibrated int8 engine "
                         "to this .npz (deployment artifact; implies --int8)")
+    p.add_argument("--force-save-engine", action="store_true",
+                   help="allow --save-engine even when calibration saw fewer "
+                        "than 8 images (e.g. a single --image run); the "
+                        "frozen activation scales may clip on real data")
     args = p.parse_args(argv)
     if args.engine or args.save_engine:
         args.int8 = True
@@ -58,9 +62,15 @@ def load_engine(args):
     )
 
 
-def report_and_save(engine, image_path: Path, detections, out_dir: Path,
+def report_and_save(engine, image_path: Path, detections, out_dir,
                     conf_threshold: float = 0.5):
-    """Console listing + annotated ``{stem}_pred{suffix}`` output for one image."""
+    """Console listing + annotated ``{stem}_pred{suffix}`` output for one image.
+
+    ``out_dir=None`` mirrors the reference's library-level fallback
+    (reference predict.py:111-123): draw only when there are detections and
+    display via ``PIL.Image.show()`` instead of saving (both CLIs default
+    ``--output predictions``, so this path is library-only).
+    """
     from yolo_tpu.data import VOC_CLASSES
     from yolo_tpu.utils.visualization import draw_detections
 
@@ -68,9 +78,17 @@ def report_and_save(engine, image_path: Path, detections, out_dir: Path,
     for det in detections:
         print(f"  {det.class_name}: {det.confidence:.2%} at {det.bbox}")
 
+    if out_dir is None and not detections:
+        return detections
     image = engine.load_image(str(image_path))
     # Threshold threaded through like reference predict.py:113.
     annotated = draw_detections(image, detections, VOC_CLASSES, conf_threshold)
+    if out_dir is None:
+        try:
+            annotated.show()
+        except Exception:
+            print("Could not display image (no display available)")
+        return detections
     out_dir.mkdir(parents=True, exist_ok=True)
     out_path = out_dir / f"{image_path.stem}_pred{image_path.suffix}"
     annotated.save(out_path)
@@ -92,6 +110,25 @@ def predict_single_image(engine, image_path: Path, args, out_dir: Path):
     )
 
 
+def _save_engine_cli(engine, args):
+    """--save-engine with the calibration-count gate surfaced as CLI guidance.
+
+    A single --image run lazily calibrates on ONE image; freezing those
+    scales is the deployment footgun the gate exists for (see
+    YOLOInference.save_engine). --force-save-engine overrides deliberately.
+    """
+    try:
+        engine.save_engine(args.save_engine, force=args.force_save_engine)
+    except RuntimeError as exc:
+        raise SystemExit(
+            f"{exc}\nCLI guidance: run with --image-dir over >="
+            f" {type(engine).MIN_CALIB_IMAGES} representative images so the"
+            f" engine calibrates on a full chunk, or pass"
+            f" --force-save-engine to freeze anyway."
+        )
+    print(f"int8 engine artifact saved to {args.save_engine}")
+
+
 def main(argv=None):
     args = parse_args(argv)
 
@@ -108,8 +145,7 @@ def main(argv=None):
     if args.image:
         predict_single_image(engine, Path(args.image), args, out_dir)
         if args.save_engine:
-            engine.save_engine(args.save_engine)
-            print(f"int8 engine artifact saved to {args.save_engine}")
+            _save_engine_cli(engine, args)
         return
 
     image_dir = Path(args.image_dir)
@@ -137,8 +173,7 @@ def main(argv=None):
         report_and_save(engine, path, dets, out_dir, args.conf_threshold)
         total += len(dets)
     if args.save_engine:
-        engine.save_engine(args.save_engine)
-        print(f"int8 engine artifact saved to {args.save_engine}")
+        _save_engine_cli(engine, args)
     print(
         f"\nProcessed {len(paths)} images, {total} detections "
         f"({total / len(paths):.1f} per image)"

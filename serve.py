@@ -21,6 +21,13 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
+# Shared threshold defaults (reference predict.py:214-221 semantics). The
+# --conf/--nms flags use None sentinels (see parse_args), so every consumer —
+# the live predict closure AND the --save-compiled AOT freeze — must resolve
+# through these to keep a served model and its frozen artifact in agreement.
+DEFAULT_CONF = 0.5
+DEFAULT_NMS = 0.4
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve YOLOv1 over HTTP (TPU-native)")
@@ -99,8 +106,8 @@ def build_predict(args):
         fn, q = build_int8_predict(model, variables, calib,
                                    impl=default_impl())
 
-    conf = 0.5 if args.conf_threshold is None else float(args.conf_threshold)
-    nms = 0.4 if args.nms_threshold is None else float(args.nms_threshold)
+    conf = DEFAULT_CONF if args.conf_threshold is None else float(args.conf_threshold)
+    nms = DEFAULT_NMS if args.nms_threshold is None else float(args.nms_threshold)
     return (lambda images: fn(q, images, conf, nms)), buckets, \
         args.image_size, q, geom
 
@@ -150,10 +157,10 @@ def main(argv=None):
         save_compiled_engine(
             args.save_compiled, q, *geom,
             batch_size=buckets[-1], image_size=image_size,
-            conf_threshold=0.5 if args.conf_threshold is None
-            else args.conf_threshold,
-            nms_threshold=0.4 if args.nms_threshold is None
-            else args.nms_threshold,
+            conf_threshold=DEFAULT_CONF if args.conf_threshold is None
+            else float(args.conf_threshold),
+            nms_threshold=DEFAULT_NMS if args.nms_threshold is None
+            else float(args.nms_threshold),
         )
         print(f"AOT engine artifact saved to {args.save_compiled}")
 

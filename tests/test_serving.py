@@ -439,7 +439,10 @@ def test_yoloinference_engine_artifact_roundtrip(small_flagship, tmp_path):
                         calibration=calib)
     want = eng.predict_batch_arrays(images, 0.05, 0.4)
     path = tmp_path / "deploy.npz"
-    eng.save_engine(path)
+    # force: the 2-image test calibration is below the deployment gate
+    # (MIN_CALIB_IMAGES); the gate itself is covered in
+    # test_save_engine_calibration_gate.
+    eng.save_engine(path, force=True)
 
     eng2 = YOLOInference(model, None, image_size=64, optimize="int8",
                          engine_artifact=str(path))
@@ -455,6 +458,40 @@ def test_save_engine_requires_built_engine(small_flagship):
     eng = YOLOInference(model, variables, image_size=64, optimize="int8")
     with pytest.raises(RuntimeError, match="no built int8 engine"):
         eng.save_engine("/tmp/never.npz")
+
+
+def test_save_engine_calibration_gate(small_flagship, tmp_path):
+    """The deployment footgun (VERDICT r4 #4): an engine lazily calibrated on
+    a single image must REFUSE to freeze its scales into an artifact unless
+    forced; an engine calibrated on >= MIN_CALIB_IMAGES saves normally."""
+    from yolo_tpu.inference import YOLOInference
+
+    model, variables = small_flagship
+    one_image = jax.random.normal(jax.random.PRNGKey(90), (1, 64, 64, 3))
+
+    eng = YOLOInference(model, variables, image_size=64, optimize="int8")
+    with pytest.warns(UserWarning, match="only 1 image"):
+        eng.predict_batch_arrays(one_image, 0.05, 0.4)  # lazy calibration
+    with pytest.raises(RuntimeError, match="refusing to freeze"):
+        eng.save_engine(tmp_path / "clipped.npz")
+    # force=True overrides deliberately.
+    eng.save_engine(tmp_path / "forced.npz", force=True)
+    assert (tmp_path / "forced.npz").exists()
+
+    # Explicit calibration at/above the gate saves without force.
+    calib = [jax.random.normal(jax.random.PRNGKey(91),
+                               (YOLOInference.MIN_CALIB_IMAGES, 64, 64, 3))]
+    eng2 = YOLOInference(model, variables, image_size=64, optimize="int8",
+                         calibration=calib)
+    eng2.save_engine(tmp_path / "ok.npz")
+    assert (tmp_path / "ok.npz").exists()
+
+    # An engine restored from an artifact is exempt (scales already frozen
+    # by an earlier, gated save) — re-export round-trips.
+    eng3 = YOLOInference(model, None, image_size=64, optimize="int8",
+                         engine_artifact=str(tmp_path / "ok.npz"))
+    eng3.save_engine(tmp_path / "reexport.npz")
+    assert (tmp_path / "reexport.npz").exists()
 
 
 def test_sharded_int8_engine_matches_single_device(small_flagship):
@@ -724,7 +761,7 @@ def test_wino_engine_artifact_roundtrip(small_flagship, tmp_path):
                         calibration=calib, wino=wino)
     want = eng.predict_batch_arrays(images, 0.05, 0.4)
     path = tmp_path / "deploy_wino.npz"
-    eng.save_engine(path)
+    eng.save_engine(path, force=True)  # 2-image test calib < MIN_CALIB_IMAGES
 
     eng2 = YOLOInference(model, None, image_size=64, optimize="int8",
                          engine_artifact=str(path))

@@ -21,6 +21,11 @@ Performance table; experiments/*.py) has demonstrated a better rate.
 
 Usage:
     python tools/op_ledger.py [--batch 256] [--min-ms 0.1] [--bf16]
+
+``--bf16`` ledgers the exact-parity bf16 graph (YOLOInference) instead of the
+int8 serving engine, with compute floors at the 197-TOPS bf16 rate.
+``ledger_for_fn`` is the library entry point bench.py uses to emit
+``vs_serial_bound`` next to the headline number.
 """
 
 from __future__ import annotations
@@ -163,52 +168,29 @@ class HloModule:
         return float(in_bytes + result_bytes), flops, kind
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--iters", type=int, default=4)
-    ap.add_argument("--min-ms", type=float, default=0.10)
-    ap.add_argument("--stem", choices=["pallas", "xla"], default="pallas",
-                    help="pallas = the shipped config (stem front kernel); "
-                         "xla = pure-XLA stem (quant fusion + 2 copies)")
-    args = ap.parse_args()
+def ledger_for_fn(fn, args, iters: int = 4, min_ms: float = 0.10,
+                  tops: float = TOPS_INT8, trace_dir: str | None = None):
+    """Trace an already-compiled jitted call and return the roofline ledger.
 
-    from yolo_tpu.utils.platform import respect_jax_platforms_env
+    Args:
+        fn: jitted callable (already warm — caller must have run it once).
+        args: positional args tuple for ``fn``.
+        iters: steady-state executions to average device time over.
+        min_ms: ops below this per-iter time are pooled, not ledgered.
+        tops: MXU compute rate for the compute floor (394 int8, 197 bf16).
 
-    respect_jax_platforms_env()
+    Returns a dict: rows (per-op tuples), total_ms, ledgered_ms, serial_ms,
+    overlap_ms, vs_serial, vs_overlap.
+    """
     import jax
-    import jax.numpy as jnp
 
     from tools.profile_layers import collect_events
-    from yolo_tpu.utils.platform import machine_cache_dir
 
-    jax.config.update(
-        "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_cache_yolo_tpu")
-    )
-    from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
-
-    model = YOLOv1(
-        num_classes=20, S=7, B=2,
-        backbone=ResNetBackbone(dtype=jnp.bfloat16, quantized=True),
-        dtype=jnp.bfloat16,
-    )
-    variables = init_model(model, jax.random.PRNGKey(0), image_size=448)
-    imgs = jax.random.normal(
-        jax.random.PRNGKey(1), (args.batch, 448, 448, 3), jnp.bfloat16
-    )
-    from yolo_tpu.serving import build_int8_predict
-    from yolo_tpu.serving.engine import default_impl
-
-    impl = default_impl() if args.stem == "pallas" else {}
-    predict, q = build_int8_predict(model, variables, [imgs[:64]], impl=impl)
-    hlo = HloModule(predict.lower(q, imgs, 0.25, 0.4).compile().as_text())
-
-    out = predict(q, imgs, 0.25, 0.4)
-    jax.block_until_ready(out)
-    trace_dir = "/tmp/yolo_tpu_op_ledger"
+    hlo = HloModule(fn.lower(*args).compile().as_text())
+    trace_dir = trace_dir or "/tmp/yolo_tpu_op_ledger"
     with jax.profiler.trace(trace_dir):
-        for _ in range(args.iters):
-            out = predict(q, imgs, 0.25, 0.4)
+        for _ in range(iters):
+            out = fn(*args)
             jax.block_until_ready(out)
     events = collect_events(trace_dir)
 
@@ -219,40 +201,111 @@ def main():
             continue
         per_op[name] += e["dur"]
 
-    total_ms = sum(per_op.values()) / args.iters / 1e3
+    total_ms = sum(per_op.values()) / iters / 1e3
     rows, small_ms = [], 0.0
     for name, dur in per_op.most_common():
-        ms = dur / args.iters / 1e3
-        if ms < args.min_ms:
+        ms = dur / iters / 1e3
+        if ms < min_ms:
             small_ms += ms
             continue
         nbytes, flops, kind = hlo.op_bounds(name)
-        tops = TOPS_INT8
         mem = nbytes / (HBM_GBPS * 1e9) * 1e3
         cmp_ = flops / (tops * 1e12) * 1e3
         rows.append((name, ms, nbytes / 1e9, flops / 1e9, mem, cmp_, kind))
 
-    print(f"batch {args.batch}: module ~{total_ms:.2f} ms/iter "
-          f"({args.batch / total_ms * 1e3:.0f} img/s)")
+    agg_serial = sum(mem + cmp_ for _, _, _, _, mem, cmp_, _ in rows)
+    agg_max = sum(max(mem, cmp_) for _, _, _, _, mem, cmp_, _ in rows)
+    ledgered = total_ms - small_ms
+    return {
+        "rows": rows,
+        "small_ms": small_ms,
+        "total_ms": total_ms,
+        "ledgered_ms": ledgered,
+        "serial_ms": agg_serial,
+        "overlap_ms": agg_max,
+        "vs_serial": ledgered / max(agg_serial, 1e-9),
+        "vs_overlap": ledgered / max(agg_max, 1e-9),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--min-ms", type=float, default=0.10)
+    ap.add_argument("--stem", choices=["pallas", "xla"], default="pallas",
+                    help="pallas = the shipped config (stem front kernel); "
+                         "xla = pure-XLA stem (quant fusion + 2 copies)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="ledger the exact-parity bf16 graph (YOLOInference) "
+                         "with 197-TOPS compute floors instead of the int8 "
+                         "engine")
+    args = ap.parse_args()
+
+    from yolo_tpu.utils.platform import respect_jax_platforms_env
+
+    respect_jax_platforms_env()
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_tpu.utils.platform import machine_cache_dir
+
+    jax.config.update(
+        "jax_compilation_cache_dir", machine_cache_dir("/tmp/jax_cache_yolo_tpu")
+    )
+    from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
+
+    model = YOLOv1(
+        num_classes=20, S=7, B=2,
+        backbone=ResNetBackbone(dtype=jnp.bfloat16,
+                                quantized=not args.bf16),
+        dtype=jnp.bfloat16,
+    )
+    variables = init_model(model, jax.random.PRNGKey(0), image_size=448)
+    imgs = jax.random.normal(
+        jax.random.PRNGKey(1), (args.batch, 448, 448, 3), jnp.bfloat16
+    )
+    if args.bf16:
+        from yolo_tpu.inference import YOLOInference
+
+        engine = YOLOInference(model, variables)
+        fn = engine._predict_arrays  # the jitted graph under predict_batch_arrays
+        fn_args = (variables, imgs, 0.25, 0.4)
+        tops = TOPS_F32
+    else:
+        from yolo_tpu.serving import build_int8_predict
+        from yolo_tpu.serving.engine import default_impl
+
+        impl = default_impl() if args.stem == "pallas" else {}
+        predict, q = build_int8_predict(model, variables, [imgs[:64]], impl=impl)
+        fn = predict
+        fn_args = (q, imgs, 0.25, 0.4)
+        tops = TOPS_INT8
+
+    out = fn(*fn_args)
+    jax.block_until_ready(out)
+    led = ledger_for_fn(fn, fn_args, iters=args.iters, min_ms=args.min_ms,
+                        tops=tops)
+
+    print(f"batch {args.batch}: module ~{led['total_ms']:.2f} ms/iter "
+          f"({args.batch / led['total_ms'] * 1e3:.0f} img/s)"
+          + (" [bf16 graph, 197-TOPS floors]" if args.bf16 else ""))
     print(f"{'op':<28}{'ms':>8}{'GB':>7}{'GOP':>8}{'mem':>7}{'cmp':>7}"
           f"{'serial':>8}{'x/max':>7}{'x/ser':>7}")
-    agg_serial = agg_max = 0.0
-    for name, ms, gb, gop, mem, cmp_, kind in rows:
+    for name, ms, gb, gop, mem, cmp_, kind in led["rows"]:
         serial = mem + cmp_
         mx = max(mem, cmp_)
-        agg_serial += serial
-        agg_max += mx
         # Sub-us floors (decode/NMS scan steps, scalar control ops) produce
         # meaningless ratios; their absolute times are the signal.
         rmax = f"{ms / mx:>7.2f}" if mx > 1e-3 else "      -"
         rser = f"{ms / serial:>7.2f}" if serial > 1e-3 else "      -"
         print(f"{name:<28}{ms:>8.3f}{gb:>7.2f}{gop:>8.0f}{mem:>7.3f}"
               f"{cmp_:>7.3f}{serial:>8.3f}{rmax}{rser}")
-    print(f"{'(ops below threshold)':<28}{small_ms:>8.3f}")
-    acc = total_ms - small_ms
-    print(f"ledgered {acc:.2f} ms: serial-model bound {agg_serial:.2f} ms "
-          f"({acc / max(agg_serial, 1e-9):.2f}x), perfect-overlap bound "
-          f"{agg_max:.2f} ms ({acc / max(agg_max, 1e-9):.2f}x)")
+    print(f"{'(ops below threshold)':<28}{led['small_ms']:>8.3f}")
+    print(f"ledgered {led['ledgered_ms']:.2f} ms: serial-model bound "
+          f"{led['serial_ms']:.2f} ms ({led['vs_serial']:.2f}x), "
+          f"perfect-overlap bound {led['overlap_ms']:.2f} ms "
+          f"({led['vs_overlap']:.2f}x)")
 
 
 if __name__ == "__main__":

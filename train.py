@@ -220,10 +220,27 @@ def main(argv=None):
     steps_per_epoch = len(train_loader)
     milestones_steps = [m * steps_per_epoch for m in milestones_epochs]
 
-    # Build state first (optimizer partition needs params for freezing).
-    tmp_tx = make_optimizer(args.lr, args.weight_decay, milestones_steps,
+    # The freeze partition only needs the params TREE STRUCTURE (path-based
+    # labels), so derive it with jax.eval_shape — no init compile — and build
+    # the one real optimizer + Trainer + state in a single pass (a second
+    # jitted init is the dominant cost on compile-bound hosts).
+    if args.freeze_backbone:
+        param_shapes = jax.eval_shape(
+            lambda rng: model.init(
+                {"params": rng},
+                jnp.zeros((1, args.image_size, args.image_size, 3), model.dtype),
+                train=False,
+            ),
+            jax.random.PRNGKey(args.seed),
+        )["params"]
+        tx = make_optimizer(
+            args.lr, args.weight_decay, milestones_steps, args.lr_decay_factor,
+            freeze_backbone=True, params=param_shapes,
+        )
+    else:
+        tx = make_optimizer(args.lr, args.weight_decay, milestones_steps,
                             args.lr_decay_factor)
-    trainer = Trainer(model, tmp_tx, mesh=mesh,
+    trainer = Trainer(model, tx, mesh=mesh,
                       lambda_coord=args.lambda_coord,
                       lambda_noobj=args.lambda_noobj)
     state = trainer.create_state(jax.random.PRNGKey(args.seed),
@@ -231,16 +248,6 @@ def main(argv=None):
     from yolo_tpu.training.logging import count_params, print_model_info
 
     print_model_info(*count_params(state.params, args.freeze_backbone))
-    if args.freeze_backbone:
-        tx = make_optimizer(
-            args.lr, args.weight_decay, milestones_steps, args.lr_decay_factor,
-            freeze_backbone=True, params=state.params,
-        )
-        trainer = Trainer(model, tx, mesh=mesh,
-                          lambda_coord=args.lambda_coord,
-                          lambda_noobj=args.lambda_noobj)
-        state = state.replace(opt_state=tx.init(state.params))
-        state = trainer.shard_state(state)
 
     # Pretrained backbone import (replaces torchvision download).
     if args.pretrained_backbone:
@@ -335,6 +342,11 @@ def main(argv=None):
     finally:
         if writer is not None:
             writer.close()
+        # Reap persistent worker-process pools deterministically (with
+        # --worker-type auto/process each loader holds up to num_workers
+        # spawned processes, each with a pickled dataset copy).
+        train_loader.close()
+        val_loader.close()
     print("\nTraining completed!")
 
 

@@ -230,10 +230,19 @@ class DataLoader:
                 )
 
         refill()
-        while pending:
-            result = pending.popleft().result()
-            refill()
-            yield result
+        try:
+            while pending:
+                result = pending.popleft().result()
+                refill()
+                yield result
+        finally:
+            # Early consumer exit (break / GeneratorExit) or a raising batch
+            # task must not leave up to num_workers+prefetch stale tasks
+            # queued in the persistent pool; completed-but-unconsumed results
+            # are dropped either way.
+            for fut in pending:
+                fut.cancel()
+            pending.clear()
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         batches = self._index_batches()

@@ -144,6 +144,9 @@ class YOLOInference:
         self._predict_batch = lambda images, conf, nms: _predict_batch_impl(
             self.variables, images, conf, nms
         )
+        # Raw jitted graph (variables as an explicit arg) for tooling that
+        # needs .lower()/.compile() — tools/op_ledger.py --bf16 ledgers it.
+        self._predict_arrays = _predict_batch_impl
 
     def _build_int8(self, model, variables, calibration, nms_fn, wino=()):
         from yolo_tpu.serving import build_int8_predict
@@ -156,6 +159,7 @@ class YOLOInference:
                 nms_fn=nms_fn, wino=wino,
             )
             state["fn"], state["q"] = predict, q
+            state["n_calib"] = sum(int(b.shape[0]) for b in calibration)
             return lambda images, conf, nms: predict(q, images, conf, nms)
 
         # No calibration data given: calibrate LAZILY on the first real batch
@@ -166,7 +170,7 @@ class YOLOInference:
         def lazy_predict(images, conf, nms):
             if "fn" not in state:
                 n_calib = int(jnp.shape(images)[0])
-                if n_calib < 8:
+                if n_calib < self.MIN_CALIB_IMAGES:
                     import warnings
 
                     warnings.warn(
@@ -188,6 +192,7 @@ class YOLOInference:
                     model, variables, [calib_imgs.astype(jnp.float32)],
                     impl=default_impl(), nms_fn=nms_fn, wino=wino,
                 )
+                state["n_calib"] = n_calib
             return state["fn"](state["q"], images, conf, nms)
 
         return lazy_predict
@@ -217,17 +222,39 @@ class YOLOInference:
         self._int8_state.update(fn=fn, q=q)
         return lambda images, conf, nms: fn(q, images, conf, nms)
 
-    def save_engine(self, path) -> None:
+    #: Minimum images the activation-scale calibration must have seen before
+    #: the engine may be frozen to a deployment artifact without ``force``.
+    MIN_CALIB_IMAGES = 8
+
+    def save_engine(self, path, force: bool = False) -> None:
         """Freeze the built int8 engine's q-params to ``path`` (.npz).
 
         Requires optimize='int8' and a built engine (explicit calibration,
         a loaded artifact, or at least one predict through the lazy path).
+
+        An engine calibrated on fewer than ``MIN_CALIB_IMAGES`` images (e.g.
+        a single lazy-calibration image) is REFUSED unless ``force=True``:
+        its activation scales underestimate real maxima, and freezing them
+        bakes silent clipping into every future deployment of the artifact.
+        Engines restored from an artifact are exempt (their scales were
+        frozen by an earlier, gated save).
         """
         if "q" not in self._int8_state:
             raise RuntimeError(
                 "no built int8 engine to save: construct with"
                 " optimize='int8' and either pass calibration= or run one"
                 " predict batch first (lazy calibration)"
+            )
+        n_calib = self._int8_state.get("n_calib")
+        if not force and n_calib is not None and n_calib < self.MIN_CALIB_IMAGES:
+            raise RuntimeError(
+                f"refusing to freeze an int8 engine calibrated on only"
+                f" {n_calib} image(s) (< {self.MIN_CALIB_IMAGES}): the"
+                f" activation scales would bake unrepresentative maxima into"
+                f" the deployment artifact. Pass calibration=[batches] with"
+                f" >= {self.MIN_CALIB_IMAGES} representative images (or"
+                f" predict a larger first batch), or call"
+                f" save_engine(path, force=True) to override."
             )
         from yolo_tpu.serving.export import save_engine as _save
 
