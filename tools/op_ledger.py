@@ -169,7 +169,8 @@ class HloModule:
 
 
 def ledger_for_fn(fn, args, iters: int = 4, min_ms: float = 0.10,
-                  tops: float = TOPS_INT8, trace_dir: str | None = None):
+                  tops: float = TOPS_INT8, trace_dir: str | None = None,
+                  compiler_options=None):
     """Trace an already-compiled jitted call and return the roofline ledger.
 
     Args:
@@ -178,6 +179,11 @@ def ledger_for_fn(fn, args, iters: int = 4, min_ms: float = 0.10,
         iters: steady-state executions to average device time over.
         min_ms: ops below this per-iter time are pooled, not ledgered.
         tops: MXU compute rate for the compute floor (394 int8, 197 bf16).
+        compiler_options: XLA options for the HLO-text compile; defaults to
+            the production set (``utils.platform.tpu_compiler_options``) so
+            the floors come from the SAME graph the traced executions run —
+            the jit-level options don't automatically reach an explicit
+            ``fn.lower().compile()``.
 
     Returns a dict: rows (per-op tuples), total_ms, ledgered_ms, serial_ms,
     overlap_ms, vs_serial, vs_overlap.
@@ -185,8 +191,13 @@ def ledger_for_fn(fn, args, iters: int = 4, min_ms: float = 0.10,
     import jax
 
     from tools.profile_layers import collect_events
+    from yolo_tpu.utils.platform import tpu_compiler_options
 
-    hlo = HloModule(fn.lower(*args).compile().as_text())
+    if compiler_options is None:
+        compiler_options = tpu_compiler_options() or None
+    hlo = HloModule(
+        fn.lower(*args).compile(compiler_options=compiler_options).as_text()
+    )
     trace_dir = trace_dir or "/tmp/yolo_tpu_op_ledger"
     with jax.profiler.trace(trace_dir):
         for _ in range(iters):

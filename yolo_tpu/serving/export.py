@@ -269,7 +269,12 @@ def load_compiled_engine(path) -> Tuple[Callable, Dict]:
     q = _unflatten(flat)
     _register_detections_serialization()
     exported = jax.export.deserialize(bytearray(blob.tobytes()))
-    call = jax.jit(exported.call)
+    # The serving-time compile of the portable module carries the measured
+    # production options (64 MiB scoped VMEM, round-5 sweep) on TPU hosts.
+    from yolo_tpu.utils.platform import tpu_compiler_options
+
+    call = jax.jit(exported.call,
+                   compiler_options=tpu_compiler_options() or None)
 
     def predict(images):
         return call(q, images)

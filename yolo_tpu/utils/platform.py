@@ -127,6 +127,36 @@ def machine_cache_dir(base: str) -> str:
     return f"{base.rstrip('/')}-{machine_fingerprint()}"
 
 
+def tpu_compiler_options() -> dict:
+    """Per-jit XLA:TPU compiler options measured to win on the shipped graphs.
+
+    Round-5 flag sweep (`tools/flag_sweep.py`; matrix in PARITY.md): raising
+    the scoped-VMEM fusion ceiling from its default to 64 MiB cut the b256
+    int8 serving graph from 60.39 ms to 55.69 ms (+8.4% throughput); the
+    v5e has 128 MiB VMEM/core, so 64 MiB leaves the same headroom the
+    compiler's double-buffering needs. Scheduler, fusion-shape, MSA and
+    optimization-level knobs all measured neutral-or-worse (the table is
+    the receipt).
+
+    TPU-only debug options are rejected by other backends' compilers, so
+    this returns {} unless the default backend is a TPU (the axon PJRT
+    plugin reports 'tpu'; CPU tests/gates stay option-free). Override knob:
+    YOLO_TPU_SCOPED_VMEM_KIB=0 disables, any other value replaces 65536.
+    """
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return {}
+    if "tpu" not in backend.lower() and "axon" not in backend.lower():
+        return {}
+    kib = os.environ.get("YOLO_TPU_SCOPED_VMEM_KIB", "65536")
+    if kib in ("0", ""):
+        return {}
+    return {"xla_tpu_scoped_vmem_limit_kib": kib}
+
+
 def _append_flag_once(flags: str, flag: str) -> str:
     """Append ``flag`` ('--name=value') unless --name is already present."""
     name = flag.split("=", 1)[0]
