@@ -66,12 +66,28 @@ SERVING_CONFIGS = [
     ("mbl_optimizer_on", {"xla_tpu_memory_bound_loop_optimizer": "true"}),
     ("aggressive_opt", {"xla_backend_optimization_level": "3"}),
     ("no_rematerialization", {"xla_tpu_enable_rematerialization": "false"}),
+    # Refinement around the round-5 winner (64 MiB scoped VMEM) — the
+    # 48-80 MiB rows document the flat optimum; combos check whether the
+    # neutral singles become wins once fusions are VMEM-rich.
+    ("vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
+    ("vmem_56m", {"xla_tpu_scoped_vmem_limit_kib": "57344"}),
+    ("vmem_72m", {"xla_tpu_scoped_vmem_limit_kib": "73728"}),
+    ("vmem_80m", {"xla_tpu_scoped_vmem_limit_kib": "81920"}),
+    ("vmem64+lhs_on", {"xla_tpu_scoped_vmem_limit_kib": "65536",
+                       "xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("vmem64+msa_bw_2x",
+     {"xla_tpu_scoped_vmem_limit_kib": "65536",
+      "xla_tpu_async_copy_bandwidth_scaling_factor": "2.0"}),
+    ("vmem64+licm_2x", {"xla_tpu_scoped_vmem_limit_kib": "65536",
+                        "xla_tpu_licm_size_inflation_ratio": "2.0"}),
 ]
 
 TRAIN_CONFIGS = [
     ("baseline", {}),
     ("lhs_on", {"xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("vmem_32m", {"xla_tpu_scoped_vmem_limit_kib": "32768"}),
     ("vmem_64m", {"xla_tpu_scoped_vmem_limit_kib": "65536"}),
+    ("vmem_96m", {"xla_tpu_scoped_vmem_limit_kib": "98304"}),
     ("msa_bw_scale_2x",
      {"xla_tpu_async_copy_bandwidth_scaling_factor": "2.0"}),
     ("no_rematerialization", {"xla_tpu_enable_rematerialization": "false"}),
@@ -96,8 +112,19 @@ def _device_ms(run_once, iters: int, trace_tag: str) -> float:
 
 
 def sweep_serving(batch: int, iters: int):
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # The shipped engine jit bakes utils.platform.tpu_compiler_options()
+    # into its own compile params, and per-compile options passed to
+    # lowered.compile() merge ON TOP of those — so without this reset the
+    # "baseline" row silently measures the production 64 MiB scoped-VMEM
+    # setting instead of XLA's true default (observed: baseline == vmem_64m
+    # == 55.69 ms in the round-5 refinement run). Neutralize it so every
+    # row is exactly its own opts dict.
+    os.environ["YOLO_TPU_SCOPED_VMEM_KIB"] = "0"
 
     from yolo_tpu.models import ResNetBackbone, YOLOv1, init_model
     from yolo_tpu.serving import build_int8_predict
@@ -140,20 +167,24 @@ def sweep_train(batch: int, iters: int):
         jnp.asarray([0.5, 0.5, 0.2, 0.2, 1.0]))
     targets = targets.at[:, 3, 3, 17].set(1.0)
 
-    # The production step donates state; for a fair sweep, re-jit WITHOUT
-    # donation so every compiled config can reuse the same input state
-    # (donation would consume it on the first call).
-    step = jax.jit(trainer._train_step.__wrapped__)
-    lowered = step.lower(state, images, targets)
+    # Use the PRODUCTION donated step and thread the returned state into the
+    # next call: donation reuses the ~3 GB param/opt buffers in place. The
+    # earlier non-donating re-jit dropped a full state copy per timed call,
+    # and the tunnel backend's lazy buffer freeing turned that churn into
+    # RESOURCE_EXHAUSTED (CLAUDE.md trap 4) when the train sweep ran after
+    # the serving sweep in one process.
+    lowered = trainer._train_step.lower(state, images, targets)
 
+    holder = {"state": state}
     rows = []
     for tag, opts in TRAIN_CONFIGS:
-        rows.append(_run_config(lowered, (state, images, targets), tag, opts,
-                                iters, batch=batch))
+        rows.append(_run_config(lowered, (images, targets), tag, opts,
+                                iters, batch=batch, state_holder=holder))
     return rows
 
 
-def _run_config(lowered, call_args, tag, opts, iters, batch):
+def _run_config(lowered, call_args, tag, opts, iters, batch,
+                state_holder=None):
     print(f"--- {tag}: {opts or '(default)'}", flush=True)
     try:
         compiled = lowered.compile(compiler_options=dict(opts))
@@ -161,8 +192,15 @@ def _run_config(lowered, call_args, tag, opts, iters, batch):
         msg = str(exc).splitlines()[0][:160]
         print(f"    rejected: {msg}", flush=True)
         return {"tag": tag, "opts": opts, "status": "rejected", "error": msg}
+    if state_holder is None:
+        run_once = lambda: compiled(*call_args)  # noqa: E731
+    else:
+        def run_once():
+            new_state, parts = compiled(state_holder["state"], *call_args)
+            state_holder["state"] = new_state  # donated input is consumed
+            return parts
     try:
-        ms = _device_ms(lambda: compiled(*call_args), iters, tag)
+        ms = _device_ms(run_once, iters, tag)
     except Exception as exc:  # noqa: BLE001
         msg = str(exc).splitlines()[0][:160]
         print(f"    runtime failure: {msg}", flush=True)
@@ -181,7 +219,15 @@ def main():
     ap.add_argument("--train-batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--json", default=None, help="write results JSON here")
+    ap.add_argument("--tags", default=None,
+                    help="comma-separated subset of config tags to run "
+                         "(applies to both graphs); default = all")
     args = ap.parse_args()
+
+    if args.tags:
+        keep = {t.strip() for t in args.tags.split(",")}
+        SERVING_CONFIGS[:] = [c for c in SERVING_CONFIGS if c[0] in keep]
+        TRAIN_CONFIGS[:] = [c for c in TRAIN_CONFIGS if c[0] in keep]
 
     from yolo_tpu.utils.platform import (
         machine_cache_dir,
