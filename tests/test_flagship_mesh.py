@@ -1,21 +1,34 @@
-"""Executed FLAGSHIP-ResNet50 DP train step on a 2-device mesh (opt-in).
+"""Executed FLAGSHIP-ResNet50 train steps on virtual-device meshes (opt-in).
 
 The standard multichip gate (``__graft_entry__.dryrun_multichip``) executes
-the production train step with a compute-light probe backbone, because on
-1-core fleet VMs XLA:CPU's idle Eigen workers busy-spin during collective
-rendezvous and an 8-virtual-device ResNet step measured 684 s (CLAUDE.md
-trap 7). This test closes the remaining gap — real BACKBONE collectives
-executed on a mesh — by running the full (3,4,6,3)-ResNet50 step pure-DP
-on only TWO virtual devices (one spinning worker instead of seven) in a
-clean subprocess, at 64² with a fresh hermetic compile cache.
+the production train step with a compute-light probe backbone because of
+XLA:CPU's idle-worker busy-spin on 1-core fleet VMs (CLAUDE.md trap 7).
+These tests close the remaining gap — real BACKBONE collectives executed on
+meshes — by running the full (3,4,6,3)-ResNet50 step in clean subprocesses
+at 64² with fresh hermetic compile caches.
+
+Round-5 ceiling probe (this 1-core host, wall incl. fresh-cache compile):
+
+    devices  mesh    wall
+    2        (2,1)    69.5 s   (round 4)
+    3        (3,1)   113.8 s
+    4        (4,1)   210.6 s
+    5        (5,1)   186.2 s
+    6        (6,1)   190.5 s
+    8        (8,1)   254.2 s   <- full 8-device DP, loss 4.7508
+    8        (4,2)   246.2 s   <- full 8-device DP x TP, loss 4.7135
+
+i.e. the FULL 8-virtual-device flagship step fits a 5-minute budget after
+all: the 684 s trap-7 pathology is specific to models whose step leaves
+most devices PARKED in a collective while one computes (the slim
+(1,1,1,1) ResNet: one fused all-reduce after 6.7 s of single-device
+compute); the flagship keeps every device compute-dense, so the 8-way
+step timeshares the core roughly serially instead of spin-starving.
 
 Opt-in: ``YOLO_TPU_RUN_SLOW=1 python -m pytest tests/test_flagship_mesh.py``
-(measured 69.5 s wall incl. compile on the 1-core host, round 4; the
-gate's own in-process collective terminate deadline of 1200 s still bounds
-a genuinely stuck all-reduce).
-
-Recorded result (round 4, this host): see PARITY.md "Executed mesh
-coverage" bullet.
+(~10 min total for all three on a 1-core host; each subprocess is bounded
+by its own timeout, and the gate's in-process collective terminate deadline
+of 1200 s still fails a genuinely stuck all-reduce crisply).
 """
 
 import os
@@ -27,34 +40,44 @@ import pytest
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("YOLO_TPU_RUN_SLOW"),
-    reason="executed 2-device ResNet DP step is minutes-slow on 1-core "
+    reason="executed flagship-ResNet mesh steps are minutes-slow on 1-core "
     "hosts; set YOLO_TPU_RUN_SLOW=1 to run",
 )
 
 
-def test_flagship_resnet50_dp_step_on_2_devices():
+@pytest.mark.parametrize(
+    "n_devices,model_axis,budget_s",
+    [
+        (2, 1, 600),  # round-4 point: 69.5 s measured
+        (8, 1, 900),  # full 8-device DP: 254.2 s measured round 5
+        (8, 2, 900),  # full 8-device (4,2) DP x TP: 246.2 s measured round 5
+    ],
+    ids=["dp2", "dp8", "dp4xtp2"],
+)
+def test_flagship_resnet50_step_on_mesh(n_devices, model_axis, budget_s):
     repo_root = Path(__file__).resolve().parents[1]
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # dryrun sets the 2-device flag itself
+    env.pop("XLA_FLAGS", None)  # dryrun sets the device-count flag itself
     env.update(
         JAX_PLATFORMS="cpu",
         YOLO_TPU_DRYRUN_BACKBONE="resnet50",
-        YOLO_TPU_DRYRUN_MODEL_AXIS="1",  # pure data-parallel mesh (2, 1)
+        YOLO_TPU_DRYRUN_MODEL_AXIS=str(model_axis),
     )
     proc = subprocess.run(
         [sys.executable, "-c",
-         "import __graft_entry__ as g; g.dryrun_multichip(2)"],
+         f"import __graft_entry__ as g; g.dryrun_multichip({n_devices})"],
         cwd=repo_root,
         env=env,
         capture_output=True,
         text=True,
-        timeout=1500,
+        timeout=budget_s,
     )
     assert proc.returncode == 0, (
         f"rc={proc.returncode}\nstdout:\n{proc.stdout}\nstderr:\n"
         f"{proc.stderr[-4000:]}"
     )
     assert "dryrun_multichip OK" in proc.stdout, proc.stdout
-    assert "{'data': 2, 'model': 1}" in proc.stdout, (
-        f"expected a (2,1) DP mesh in output:\n{proc.stdout}"
+    n_data = n_devices // model_axis
+    assert f"{{'data': {n_data}, 'model': {model_axis}}}" in proc.stdout, (
+        f"expected a ({n_data},{model_axis}) mesh in output:\n{proc.stdout}"
     )
