@@ -161,10 +161,14 @@ def main():
     if os.environ.get("YOLO_TPU_BENCH_LEDGER", "1") != "0":
         try:
             from tools.op_ledger import TOPS_F32, TOPS_INT8, ledger_for_fn
+            from yolo_tpu.utils.platform import tpu_compiler_options
 
             led = ledger_for_fn(
                 raw_fn, raw_args,
                 tops=TOPS_F32 if raw_tops == "bf16" else TOPS_INT8,
+                # Match the measured graph's per-graph production options.
+                compiler_options=tpu_compiler_options(
+                    "bf16" if raw_tops == "bf16" else "int8") or None,
             )
             vs_serial = round(led["vs_serial"], 3)
         except (Exception, SystemExit):  # collect_events SystemExits w/o trace

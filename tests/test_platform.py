@@ -149,3 +149,38 @@ def test_cpuid_identity_real_host():
         return
     assert cid.startswith("0.0:")
     assert cid == platform._cpuid_identity()
+
+
+def test_tpu_compiler_options_per_graph_and_override():
+    """Per-graph scoped-VMEM optima (int8 64 MiB / bf16 96 MiB, round-5
+    sweeps in PARITY.md) apply only on TPU-class backends; the env knob
+    overrides or disables both."""
+    with mock.patch("jax.default_backend", return_value="cpu"):
+        assert platform.tpu_compiler_options() == {}
+        assert platform.tpu_compiler_options("bf16") == {}
+    with mock.patch("jax.default_backend", return_value="tpu"):
+        with mock.patch.dict(os.environ, {}, clear=False):
+            os.environ.pop("YOLO_TPU_SCOPED_VMEM_KIB", None)
+            assert platform.tpu_compiler_options() == {
+                "xla_tpu_scoped_vmem_limit_kib": "65536"
+            }
+            assert platform.tpu_compiler_options("int8") == {
+                "xla_tpu_scoped_vmem_limit_kib": "65536"
+            }
+            assert platform.tpu_compiler_options("bf16") == {
+                "xla_tpu_scoped_vmem_limit_kib": "98304"
+            }
+            # Unknown graph families fall back to the int8 default.
+            assert platform.tpu_compiler_options("other") == {
+                "xla_tpu_scoped_vmem_limit_kib": "65536"
+            }
+        with mock.patch.dict(
+            os.environ, {"YOLO_TPU_SCOPED_VMEM_KIB": "32768"}, clear=False
+        ):
+            assert platform.tpu_compiler_options("bf16") == {
+                "xla_tpu_scoped_vmem_limit_kib": "32768"
+            }
+        with mock.patch.dict(
+            os.environ, {"YOLO_TPU_SCOPED_VMEM_KIB": "0"}, clear=False
+        ):
+            assert platform.tpu_compiler_options() == {}

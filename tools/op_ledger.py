@@ -295,8 +295,15 @@ def main():
 
     out = fn(*fn_args)
     jax.block_until_ready(out)
-    led = ledger_for_fn(fn, fn_args, iters=args.iters, min_ms=args.min_ms,
-                        tops=tops)
+    from yolo_tpu.utils.platform import tpu_compiler_options
+
+    led = ledger_for_fn(
+        fn, fn_args, iters=args.iters, min_ms=args.min_ms, tops=tops,
+        # Match the HLO compile to the per-graph production options the
+        # traced jit itself carries (int8: 64 MiB scoped VMEM; bf16: 96).
+        compiler_options=tpu_compiler_options(
+            "bf16" if args.bf16 else "int8") or None,
+    )
 
     print(f"batch {args.batch}: module ~{led['total_ms']:.2f} ms/iter "
           f"({args.batch / led['total_ms'] * 1e3:.0f} img/s)"

@@ -122,7 +122,12 @@ class YOLOInference:
         # Variables are an explicit jit argument: closing over them would bake
         # the full parameter tree into the compiled program as constants
         # (minutes of compile + an executable-embedded copy of the weights).
-        @partial(jax.jit, static_argnames=("conf_threshold", "nms_threshold"))
+        # The bf16 graph carries its measured scoped-VMEM optimum (96 MiB,
+        # +4.4% @b256 — utils.platform._SCOPED_VMEM_KIB); {} on non-TPU.
+        from yolo_tpu.utils.platform import tpu_compiler_options
+
+        @partial(jax.jit, static_argnames=("conf_threshold", "nms_threshold"),
+                 compiler_options=tpu_compiler_options("bf16") or None)
         def _predict_batch_impl(variables, images, conf_threshold, nms_threshold):
             if images.dtype == jnp.uint8:
                 # uint8 wire format: raw resized RGB, ImageNet-normalized

@@ -127,21 +127,31 @@ def machine_cache_dir(base: str) -> str:
     return f"{base.rstrip('/')}-{machine_fingerprint()}"
 
 
-def tpu_compiler_options() -> dict:
+#: Measured scoped-VMEM optima per shipped graph family (KiB). Round-5
+#: flag sweeps (`tools/flag_sweep.py`; matrices in PARITY.md): the int8
+#: serving graph has a clean optimum at 64 MiB (60.39 -> 55.69 ms @b256,
+#: +8.4%; 72-96 MiB regress), while the bf16 exact graph keeps improving
+#: to a flat plateau at 96-128 MiB (103.10 -> 98.72 ms @b256, +4.4%;
+#: 96/112/128 within noise — 96 keeps the most compiler headroom). The
+#: b128 448^2 train step measured NEUTRAL-or-worse at every ceiling, so
+#: the Trainer jit deliberately takes no options.
+_SCOPED_VMEM_KIB = {"int8": "65536", "bf16": "98304"}
+
+
+def tpu_compiler_options(graph: str = "int8") -> dict:
     """Per-jit XLA:TPU compiler options measured to win on the shipped graphs.
 
-    Round-5 flag sweep (`tools/flag_sweep.py`; matrix in PARITY.md): raising
-    the scoped-VMEM fusion ceiling from its default to 64 MiB cut the b256
-    int8 serving graph from 60.39 ms to 55.69 ms (+8.4% throughput); the
-    v5e has 128 MiB VMEM/core, so 64 MiB leaves the same headroom the
-    compiler's double-buffering needs. Scheduler, fusion-shape, MSA and
-    optimization-level knobs all measured neutral-or-worse (the table is
-    the receipt).
+    ``graph`` selects the measured scoped-VMEM fusion ceiling: ``"int8"``
+    (the serving engine, 64 MiB) or ``"bf16"`` (the exact-parity inference
+    graph, 96 MiB) — see ``_SCOPED_VMEM_KIB`` for the receipts. Scheduler,
+    fusion-shape, MSA and optimization-level knobs all measured
+    neutral-or-worse (PARITY.md flag matrix).
 
     TPU-only debug options are rejected by other backends' compilers, so
     this returns {} unless the default backend is a TPU (the axon PJRT
     plugin reports 'tpu'; CPU tests/gates stay option-free). Override knob:
-    YOLO_TPU_SCOPED_VMEM_KIB=0 disables, any other value replaces 65536.
+    YOLO_TPU_SCOPED_VMEM_KIB=0 disables, any other value replaces the
+    per-graph default.
     """
     import jax
 
@@ -151,7 +161,10 @@ def tpu_compiler_options() -> dict:
         return {}
     if "tpu" not in backend.lower() and "axon" not in backend.lower():
         return {}
-    kib = os.environ.get("YOLO_TPU_SCOPED_VMEM_KIB", "65536")
+    kib = os.environ.get(
+        "YOLO_TPU_SCOPED_VMEM_KIB",
+        _SCOPED_VMEM_KIB.get(graph, _SCOPED_VMEM_KIB["int8"]),
+    )
     if kib in ("0", ""):
         return {}
     return {"xla_tpu_scoped_vmem_limit_kib": kib}
