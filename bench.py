@@ -170,7 +170,13 @@ def main():
                 compiler_options=tpu_compiler_options(
                     "bf16" if raw_tops == "bf16" else "int8") or None,
             )
-            vs_serial = round(led["vs_serial"], 3)
+            # A trace with no TPU-pid events ledgers to total_ms=0 (e.g. the
+            # CPU/wallclock fallback path) — report "not measurable" (null),
+            # not a vacuous 0.0 ratio.
+            vs_serial = (
+                round(led["vs_serial"], 3) if led.get("total_ms", 0) > 0
+                else None
+            )
         except (Exception, SystemExit):  # collect_events SystemExits w/o trace
             vs_serial = None
 

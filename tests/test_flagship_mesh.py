@@ -26,9 +26,10 @@ compute); the flagship keeps every device compute-dense, so the 8-way
 step timeshares the core roughly serially instead of spin-starving.
 
 Opt-in: ``YOLO_TPU_RUN_SLOW=1 python -m pytest tests/test_flagship_mesh.py``
-(~10 min total for all three on a 1-core host; each subprocess is bounded
-by its own timeout, and the gate's in-process collective terminate deadline
-of 1200 s still fails a genuinely stuck all-reduce crisply).
+(~10 min total for all three on a 1-core host). Each subprocess's 600/900 s
+timeout is the binding deadline — a genuinely stuck all-reduce surfaces as
+``subprocess.TimeoutExpired`` here before the gate's in-process 1200 s
+collective terminate deadline can fire.
 """
 
 import os

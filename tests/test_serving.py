@@ -494,6 +494,53 @@ def test_save_engine_calibration_gate(small_flagship, tmp_path):
     assert (tmp_path / "reexport.npz").exists()
 
 
+def test_save_engine_gate_counts_real_images_not_padding(
+    small_flagship, tmp_path
+):
+    """predict_batch_files zero-pads ragged chunks to batch_size; the lazy
+    calibration must count (and calibrate on) only the REAL images, so a
+    3-image directory still trips the save_engine gate instead of being
+    silently waved through as a full padded batch."""
+    from PIL import Image
+
+    from yolo_tpu.inference import YOLOInference
+
+    model, variables = small_flagship
+    rng = np.random.default_rng(7)
+    paths = []
+    for i in range(3):
+        img = Image.fromarray(
+            rng.integers(0, 255, (64, 64, 3), dtype=np.uint8), "RGB"
+        )
+        p = tmp_path / f"img_{i}.jpg"
+        img.save(p)
+        paths.append(str(p))
+
+    eng = YOLOInference(model, variables, image_size=64, optimize="int8")
+    with pytest.warns(UserWarning, match="only 3 image"):
+        eng.predict_batch_files(paths, 0.05, 0.4, batch_size=16)
+    assert eng._int8_state["n_calib"] == 3
+    assert "pending_valid" not in eng._int8_state
+    with pytest.raises(RuntimeError, match="refusing to freeze"):
+        eng.save_engine(tmp_path / "padded.npz")
+
+
+def test_calibration_generator_counts_images(small_flagship, tmp_path):
+    """A generator calibration iterable is materialized before the build
+    consumes it, so n_calib reflects the images actually calibrated on and
+    save_engine does not spuriously refuse."""
+    from yolo_tpu.inference import YOLOInference
+
+    model, variables = small_flagship
+    batches = [jax.random.normal(jax.random.PRNGKey(92),
+                                 (YOLOInference.MIN_CALIB_IMAGES, 64, 64, 3))]
+    eng = YOLOInference(model, variables, image_size=64, optimize="int8",
+                        calibration=(b for b in batches))
+    assert eng._int8_state["n_calib"] == YOLOInference.MIN_CALIB_IMAGES
+    eng.save_engine(tmp_path / "gen.npz")
+    assert (tmp_path / "gen.npz").exists()
+
+
 def test_sharded_int8_engine_matches_single_device(small_flagship):
     """DP-sharded serving == single-device engine, bit-equal: replicated
     q, batch sharded over 'data', zero collectives in the graph."""

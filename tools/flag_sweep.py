@@ -39,7 +39,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 # Candidate option sets. Names are XLA debug options (the part after
 # ``--`` in XLA_FLAGS). Values must be strings. Each entry: (tag, options).
-# Singles first; combos of winners are appended at runtime.
+# Singles first, then hand-written combos of the measured winners (the
+# vmem64+* rows) — extend the list by hand when adding new candidates.
 SERVING_CONFIGS = [
     ("baseline", {}),
     # Scheduler: latency-hiding scheduler can reorder DMA vs compute.

@@ -232,11 +232,21 @@ def _free_port() -> int:
 
 
 def parent_main(timeout: float) -> int:
+    import tempfile
+
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # children set their own device count
     procs = []
+    logs = []
     for pid in range(N_PROCESSES):
+        # File-backed stdout: the parent reaps the children SEQUENTIALLY, so
+        # a PIPE would deadlock the gate if the not-yet-reaped child filled
+        # its ~64 KB pipe buffer with XLA/absl logging while the reaped one
+        # waited for it inside a cross-process collective.
+        log = tempfile.TemporaryFile(mode="w+", encoding="utf-8",
+                                     errors="replace")
+        logs.append(log)
         procs.append(
             subprocess.Popen(
                 [
@@ -247,9 +257,8 @@ def parent_main(timeout: float) -> int:
                     "--coordinator",
                     f"localhost:{port}",
                 ],
-                stdout=subprocess.PIPE,
+                stdout=log,
                 stderr=subprocess.STDOUT,
-                text=True,
                 env=env,
                 cwd=REPO,
             )
@@ -258,13 +267,19 @@ def parent_main(timeout: float) -> int:
     outputs = []
     ok = True
     for pid, proc in enumerate(procs):
+        timed_out = False
         try:
-            out, _ = proc.communicate(timeout=max(1.0, deadline - time.time()))
+            proc.wait(timeout=max(1.0, deadline - time.time()))
         except subprocess.TimeoutExpired:
             proc.kill()
-            out, _ = proc.communicate()
-            out += "\n<TIMEOUT>"
+            proc.wait()
+            timed_out = True
             ok = False
+        logs[pid].seek(0)
+        out = logs[pid].read()
+        logs[pid].close()
+        if timed_out:
+            out += "\n<TIMEOUT>"
         outputs.append(out)
         if proc.returncode != 0:
             ok = False

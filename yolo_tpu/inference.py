@@ -159,6 +159,10 @@ class YOLOInference:
 
         state = self._int8_state
         if calibration is not None:
+            # Materialize first: a generator would be exhausted by the build,
+            # making the n_calib count below read 0 and save_engine's
+            # calibration gate spuriously refuse a fully calibrated engine.
+            calibration = list(calibration)
             predict, q = build_int8_predict(
                 model, variables, calibration, impl=default_impl(),
                 nms_fn=nms_fn, wino=wino,
@@ -173,8 +177,13 @@ class YOLOInference:
         # checkpoints), so deferring to genuine data beats a noise default;
         # the engine build just moves to the first predict call.
         def lazy_predict(images, conf, nms):
+            # Batched callers (predict_batch_files) zero-pad ragged chunks to
+            # a fixed batch size; "pending_valid" carries the REAL image count
+            # so padding rows neither inflate n_calib past the save_engine
+            # gate nor contaminate the calibration activation maxima.
+            valid = state.pop("pending_valid", None)
             if "fn" not in state:
-                n_calib = int(jnp.shape(images)[0])
+                n_calib = int(jnp.shape(images)[0] if valid is None else valid)
                 if n_calib < self.MIN_CALIB_IMAGES:
                     import warnings
 
@@ -188,7 +197,7 @@ class YOLOInference:
                         f" scales.",
                         stacklevel=2,
                     )
-                calib_imgs = jnp.asarray(images)
+                calib_imgs = jnp.asarray(images)[:n_calib]
                 if calib_imgs.dtype == jnp.uint8:
                     from yolo_tpu.data.transforms import device_normalize
 
@@ -342,12 +351,16 @@ class YOLOInference:
                     [np.zeros_like(arrays[0])] * (batch_size - n)
                 )
             batch = jnp.asarray(np.stack(arrays))
+            # Tell a pending lazy int8 calibration how many rows are real
+            # images (the rest is zero padding) — see _build_int8.
+            self._int8_state["pending_valid"] = n
             dets = jax.device_get(
                 self._predict_batch(batch, conf_threshold, nms_threshold)
             )
             results.extend(
                 self._to_detections(dets, i, class_names) for i in range(n)
             )
+        self._int8_state.pop("pending_valid", None)
         return results
 
     def parse_predictions(
